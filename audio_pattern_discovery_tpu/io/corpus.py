@@ -1,0 +1,66 @@
+"""Corpus loading + padded batching of ragged clips (SURVEY.md SS3 row 1).
+
+The host reads a directory of WAVs, optionally via the native C++ demuxer,
+and packs them into a padded [n_clips, max_len] float32 array with a length
+vector — the shape contract the jitted spectrogram op expects (static
+shapes; masking handles raggedness, SURVEY.md SS8 P1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from audio_pattern_discovery_tpu.io.wavio import read_wav
+
+
+@dataclass
+class Clip:
+    path: str
+    samples: np.ndarray  # float32 [n]
+    sample_rate: int
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+
+def load_corpus(
+    wav_dir: str | Path,
+    pattern: str = "*.wav",
+    expected_rate: int | None = None,
+) -> list[Clip]:
+    """Read every WAV under `wav_dir` (sorted for determinism)."""
+    paths = sorted(Path(wav_dir).glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no {pattern} files under {wav_dir}")
+    clips = []
+    for p in paths:
+        samples, rate = read_wav(p)
+        if expected_rate is not None and rate != expected_rate:
+            raise ValueError(f"{p}: sample rate {rate} != expected {expected_rate}")
+        clips.append(Clip(path=str(p), samples=samples, sample_rate=rate))
+    return clips
+
+
+def pad_and_stack(
+    arrays: list[np.ndarray],
+    pad_to: int | None = None,
+    multiple_of: int = 1,
+    pad_value: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged list of [n_i, ...] arrays -> ([B, N, ...] padded, [B] lengths).
+
+    N = max length, rounded up to `multiple_of` (TPU lane alignment).
+    """
+    lengths = np.array([len(a) for a in arrays], dtype=np.int32)
+    n = pad_to if pad_to is not None else int(lengths.max())
+    n = -(-n // multiple_of) * multiple_of
+    trailing = arrays[0].shape[1:]
+    out = np.full((len(arrays), n, *trailing), pad_value, dtype=np.float32)
+    for i, a in enumerate(arrays):
+        if len(a) > n:
+            raise ValueError(f"clip {i} length {len(a)} exceeds pad_to {n}")
+        out[i, : len(a)] = a
+    return out, lengths

@@ -1,0 +1,95 @@
+"""WAV (RIFF/WAVE) ingest and snippet writing (SURVEY.md SS3 row 1).
+
+Host-side reader: parses RIFF chunks directly with NumPy (no librosa /
+soundfile in the environment), normalizes PCM to float32 in [-1, 1], and
+downmixes multichannel to mono.  Supports PCM 8/16/24/32-bit and IEEE
+float32/64.  A native C++ demuxer (native/wavdemux.cc) accelerates bulk
+ingest; this module is the portable fallback and the correctness oracle
+for it.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def read_wav(path: str | Path, mono: bool = True) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 samples in [-1, 1], sample_rate).
+
+    Multichannel audio is averaged to mono when `mono=True`, otherwise
+    returned as [n_samples, n_channels].
+    """
+    raw = Path(path).read_bytes()
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        chunk_id = raw[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+
+    if fmt is None or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == _WAVE_FORMAT_EXTENSIBLE:
+        # True format lives in the extension's SubFormat GUID; the first two
+        # bytes of the GUID are the classic format tag.
+        audio_format = _WAVE_FORMAT_PCM if bits != 32 else _WAVE_FORMAT_IEEE_FLOAT
+
+    if audio_format == _WAVE_FORMAT_PCM:
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+            vals = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+    elif audio_format == _WAVE_FORMAT_IEEE_FLOAT:
+        dtype = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(data, dtype=dtype).astype(np.float32)
+    else:
+        raise ValueError(f"{path}: unsupported WAVE format 0x{audio_format:04x}")
+
+    if n_channels > 1:
+        x = x[: (len(x) // n_channels) * n_channels].reshape(-1, n_channels)
+        if mono:
+            x = x.mean(axis=1)
+    return np.ascontiguousarray(x, dtype=np.float32), sample_rate
+
+
+def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
+    """Write mono float samples in [-1, 1] as 16-bit PCM WAV."""
+    x = np.asarray(samples, dtype=np.float64)
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, _WAVE_FORMAT_PCM, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    Path(path).write_bytes(hdr + pcm)

@@ -1,0 +1,132 @@
+"""TPU-native windowed-FFT spectrogram extraction (SURVEY.md SS3 row 2).
+
+Design (TPU-first, not a port): the whole chain
+    frame -> window -> rFFT -> |.|^p -> log10
+is one jitted function over a *batch* of padded clips, so XLA fuses the
+elementwise stages into the FFT's prologue/epilogue and the host<->device
+boundary is crossed once per corpus batch (SURVEY.md SS4.1 boundary note).
+Framing is a static gather (frame index matrix built at trace time), which
+XLA lowers to an efficient strided window load; all shapes static, ragged
+clip lengths handled with a frame-validity mask (SS8 P1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_pattern_discovery_tpu.config import SpectrogramConfig
+
+
+def window_array(name: str, win_length: int) -> np.ndarray:
+    """Periodic windows matching oracle/stft.py (reference-style)."""
+    n = np.arange(win_length, dtype=np.float32)
+    if name == "hann":
+        return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+    if name == "hamming":
+        return (0.54 - 0.46 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+    if name == "rect":
+        return np.ones(win_length, dtype=np.float32)
+    raise ValueError(f"unknown window {name!r}")
+
+
+def num_frames(n_samples: int, win_length: int, hop_length: int) -> int:
+    if n_samples < win_length:
+        return 0
+    return 1 + (n_samples - win_length) // hop_length
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "win_length",
+        "hop_length",
+        "window",
+        "n_fft",
+        "power",
+        "log_scale",
+        "log_floor",
+        "max_bins",
+    ),
+)
+def batched_spectrogram(
+    signals: jax.Array,                # [B, N] padded float32
+    lengths: jax.Array,                # [B] int32 true sample counts
+    *,
+    win_length: int = 1024,
+    hop_length: int = 256,
+    window: str = "hann",
+    n_fft: int | None = None,
+    power: float = 2.0,
+    log_scale: bool = True,
+    log_floor: float = 1e-10,
+    max_bins: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """[B, N] padded signals -> ([B, F, bins] spectrograms, [B] frame counts).
+
+    F = frame capacity of the padded length; frames past a clip's true frame
+    count contain the log-floor (silence) and must be masked downstream via
+    the returned frame counts.
+    """
+    B, N = signals.shape
+    n_fft = n_fft or win_length
+    F = num_frames(N, win_length, hop_length)
+    if F == 0:
+        raise ValueError(f"padded length {N} shorter than win_length {win_length}")
+
+    # Static frame-index matrix: [F, win] gather indices.
+    idx = (
+        np.arange(F, dtype=np.int32)[:, None] * hop_length
+        + np.arange(win_length, dtype=np.int32)[None, :]
+    )
+    frames = signals[:, idx]                                   # [B, F, win]
+    w = jnp.asarray(window_array(window, win_length))
+    frames = frames * w                                        # fused elementwise
+
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)              # [B, F, n_fft//2+1]
+    mag = jnp.abs(spec)
+    out = mag if power == 1.0 else mag**power
+    if max_bins is not None:
+        out = out[..., :max_bins]
+
+    # Mask frames that read past a clip's true length before log-compression
+    # so padding contributes exactly the log floor (silence), not garbage.
+    frame_counts = jnp.where(
+        lengths >= win_length, 1 + (lengths - win_length) // hop_length, 0
+    ).astype(jnp.int32)
+    frame_ids = jnp.arange(F, dtype=jnp.int32)[None, :, None]  # [1, F, 1]
+    valid = frame_ids < frame_counts[:, None, None]
+    if log_scale:
+        out = jnp.log10(jnp.maximum(out, log_floor))
+        out = jnp.where(valid, out, jnp.log10(jnp.float32(log_floor)))
+    else:
+        out = jnp.where(valid, out, 0.0)
+    return out.astype(jnp.float32), frame_counts
+
+
+def spectrogram_from_config(
+    signals: jax.Array, lengths: jax.Array, cfg: SpectrogramConfig
+) -> tuple[jax.Array, jax.Array]:
+    return batched_spectrogram(
+        signals,
+        lengths,
+        win_length=cfg.win_length,
+        hop_length=cfg.hop_length,
+        window=cfg.window,
+        n_fft=cfg.n_fft,
+        power=cfg.power,
+        log_scale=cfg.log_scale,
+        log_floor=cfg.log_floor,
+        max_bins=cfg.max_bins,
+    )
+
+
+def frame_energy(spectrograms: jax.Array, log_scale: bool = True) -> jax.Array:
+    """Per-frame energy [B, F] used by the segmenter (mean over bins)."""
+    if log_scale:
+        # spectrograms are log10-power; energy = mean power in dB-ish scale.
+        return jnp.mean(spectrograms, axis=-1)
+    return jnp.log10(jnp.maximum(jnp.mean(spectrograms, axis=-1), 1e-10))

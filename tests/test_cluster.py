@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+from scipy.cluster.hierarchy import fcluster
+
+from audio_pattern_discovery_tpu.cluster.agglomerative import (
+    cut_linkage,
+    linkage,
+)
+from audio_pattern_discovery_tpu.oracle.cluster import cut_oracle, linkage_oracle
+
+
+def _random_dist(rng, k):
+    x = rng.normal(0, 1, (k, 8))
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    return d
+
+
+def _same_partition(a: np.ndarray, b: np.ndarray) -> bool:
+    """Partitions equal up to label renaming."""
+    amap: dict[int, int] = {}
+    bmap: dict[int, int] = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        if amap.setdefault(x, y) != y or bmap.setdefault(y, x) != x:
+            return False
+    return True
+
+
+@pytest.mark.parametrize("method", ["single", "complete", "average", "weighted"])
+@pytest.mark.parametrize("k", [2, 3, 10, 50])
+def test_linkage_matches_scipy(rng, method, k):
+    d = _random_dist(rng, k)
+    Z = linkage(d, method)
+    Z_ref = linkage_oracle(d, method)
+    np.testing.assert_allclose(Z[:, 2], Z_ref[:, 2], rtol=1e-9)
+    np.testing.assert_array_equal(Z[:, 3], Z_ref[:, 3])
+    np.testing.assert_array_equal(Z[:, :2], Z_ref[:, :2])
+
+
+@pytest.mark.parametrize("method", ["average", "complete"])
+def test_cut_threshold_matches_scipy(rng, method):
+    d = _random_dist(rng, 30)
+    Z = linkage(d, method)
+    t = float(np.median(Z[:, 2]))
+    ours = cut_linkage(Z, 30, distance_threshold=t)
+    ref = cut_oracle(linkage_oracle(d, method), distance_threshold=t)
+    assert _same_partition(ours, ref)
+
+
+def test_cut_n_clusters(rng):
+    d = _random_dist(rng, 25)
+    Z = linkage(d, "average")
+    labels = cut_linkage(Z, 25, n_clusters=4)
+    assert len(np.unique(labels)) == 4
+    ref = fcluster(linkage_oracle(d, "average"), t=4, criterion="maxclust") - 1
+    assert _same_partition(labels, ref)
+
+
+def test_obvious_clusters(rng):
+    """Three well-separated blobs must come out as three clusters."""
+    pts = np.concatenate(
+        [rng.normal(c, 0.05, (10, 2)) for c in ((0, 0), (10, 0), (0, 10))]
+    )
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    Z = linkage(d, "average")
+    labels = cut_linkage(Z, 30, distance_threshold=3.0)
+    truth = np.repeat([0, 1, 2], 10)
+    assert _same_partition(labels, truth)
+
+
+def test_trivial_sizes():
+    assert linkage(np.zeros((1, 1)), "average").shape == (0, 4)
+    Z = linkage(np.array([[0.0, 2.0], [2.0, 0.0]]), "single")
+    assert Z.shape == (1, 4)
+    assert Z[0, 2] == 2.0

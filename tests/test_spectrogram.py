@@ -1,0 +1,77 @@
+import numpy as np
+import pytest
+
+from audio_pattern_discovery_tpu.io.corpus import pad_and_stack
+from audio_pattern_discovery_tpu.ops.spectrogram import (
+    batched_spectrogram,
+    frame_energy,
+    num_frames,
+)
+from audio_pattern_discovery_tpu.oracle.stft import stft_oracle
+
+
+@pytest.mark.parametrize("window", ["hann", "hamming", "rect"])
+def test_matches_oracle(rng, window):
+    sig = rng.normal(0, 0.3, 4000).astype(np.float32)
+    spec, counts = batched_spectrogram(
+        sig[None],
+        np.array([len(sig)], np.int32),
+        win_length=512,
+        hop_length=128,
+        window=window,
+    )
+    ref = stft_oracle(sig, win_length=512, hop_length=128, window=window)
+    assert int(counts[0]) == ref.shape[0]
+    np.testing.assert_allclose(np.asarray(spec[0]), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_padding_invariance(rng):
+    """Padded clips give identical spectra in their valid frames."""
+    sig = rng.normal(0, 0.3, 3000).astype(np.float32)
+    padded, lengths = pad_and_stack([sig], pad_to=8000)
+    spec_p, counts_p = batched_spectrogram(
+        padded, lengths, win_length=512, hop_length=128
+    )
+    spec_u, counts_u = batched_spectrogram(
+        sig[None], np.array([3000], np.int32), win_length=512, hop_length=128
+    )
+    nf = int(counts_u[0])
+    assert int(counts_p[0]) == nf
+    np.testing.assert_allclose(
+        np.asarray(spec_p[0, :nf]), np.asarray(spec_u[0, :nf]), rtol=1e-5, atol=1e-5
+    )
+    # Frames past the true length are exactly the log floor.
+    assert np.allclose(np.asarray(spec_p[0, nf:]), np.log10(1e-10))
+
+
+def test_batch_of_ragged_clips(rng):
+    clips = [rng.normal(0, 0.3, n).astype(np.float32) for n in (2000, 3500, 5000)]
+    padded, lengths = pad_and_stack(clips)
+    spec, counts = batched_spectrogram(padded, lengths, win_length=512, hop_length=256)
+    for i, c in enumerate(clips):
+        ref = stft_oracle(c, win_length=512, hop_length=256)
+        nf = int(counts[i])
+        assert nf == ref.shape[0] == num_frames(len(c), 512, 256)
+        np.testing.assert_allclose(np.asarray(spec[i, :nf]), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tone_peak_bin():
+    """A pure tone's energy lands in the right FFT bin."""
+    sr, f = 16_000, 1000.0
+    t = np.arange(sr) / sr
+    sig = np.sin(2 * np.pi * f * t).astype(np.float32)
+    spec, counts = batched_spectrogram(
+        sig[None], np.array([sr], np.int32), win_length=1024, hop_length=512
+    )
+    mid = np.asarray(spec[0, int(counts[0]) // 2])
+    expected_bin = round(f * 1024 / sr)
+    assert abs(int(np.argmax(mid)) - expected_bin) <= 1
+
+
+def test_frame_energy_shape(rng):
+    sig = rng.normal(0, 0.3, 4000).astype(np.float32)
+    spec, _ = batched_spectrogram(
+        sig[None], np.array([4000], np.int32), win_length=512, hop_length=128
+    )
+    e = frame_energy(spec)
+    assert e.shape == spec.shape[:2]
