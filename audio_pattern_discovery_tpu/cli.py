@@ -1,0 +1,80 @@
+"""CLI driver (SURVEY.md SS3 row L5): `python -m audio_pattern_discovery_tpu`.
+
+Preserves the reference's public entry point: binary <wav-dir> [config/args]
+-> cluster + alignment artifacts on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from audio_pattern_discovery_tpu.config import PipelineConfig
+from audio_pattern_discovery_tpu.pipeline import discover
+from audio_pattern_discovery_tpu.utils.logging import get_logger
+
+
+def _parse_override(kv: str):
+    key, _, raw = kv.partition("=")
+    if not _:
+        raise argparse.ArgumentTypeError(f"override must be key=value, got {kv!r}")
+    try:
+        value = json.loads(raw)
+    except json.JSONDecodeError:
+        value = raw
+    return key, value
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="audio_pattern_discovery_tpu",
+        description="TPU-native discovery of recurring audio patterns: "
+        "directory of WAVs in, pattern clusters + DTW alignments out.",
+    )
+    p.add_argument("wav_dir", type=Path, help="directory of input WAV files")
+    p.add_argument("-o", "--out-dir", type=Path, default=Path("apd_out"))
+    p.add_argument("-c", "--config", type=Path, help="JSON config file")
+    p.add_argument(
+        "-s",
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        type=_parse_override,
+        metavar="KEY=VALUE",
+        help="dotted config override, e.g. -s dtw.band=32 -s cluster.n_clusters=5",
+    )
+    p.add_argument("--dump-config", action="store_true", help="print config and exit")
+    p.add_argument("--json-logs", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = PipelineConfig.from_json(args.config) if args.config else PipelineConfig()
+    if args.overrides:
+        cfg = cfg.override(dict(args.overrides))
+    if args.dump_config:
+        print(json.dumps(cfg.to_dict(), indent=2))
+        return 0
+    log = get_logger(json_lines=args.json_logs)
+    result = discover(args.wav_dir, cfg, out_dir=args.out_dir, logger=log)
+    print(
+        json.dumps(
+            {
+                "out_dir": str(args.out_dir),
+                "n_clips": len(result.clips),
+                "n_segments": len(result.segments),
+                "n_clusters": len(result.clusters),
+                "timings_s": result.counters.timings_s,
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

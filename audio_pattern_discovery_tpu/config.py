@@ -52,7 +52,7 @@ class SegmentationConfig:
 
     method: str = "energy"          # "energy" | "sliding"
     # -- energy method --
-    threshold_db: float = -40.0     # absolute energy gate relative to clip peak
+    threshold_db: float = -20.0     # energy gate in dB relative to clip peak
     min_len_frames: int = 8         # discard segments shorter than this
     max_len_frames: int = 256       # split segments longer than this
     merge_gap_frames: int = 4       # merge active runs separated by <= gap

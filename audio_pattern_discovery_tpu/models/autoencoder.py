@@ -1,0 +1,201 @@
+"""Autoencoder over spectrogram frames (SURVEY.md SS3 row 4, SS4.2).
+
+A small dense (optionally denoising) autoencoder: encoder output is the
+per-frame latent embedding that DTW runs over (BASELINE.json config 3).
+TPU-native training: a single jitted Flax/optax `train_step` with donated
+state, minibatches sliced from a device-resident corpus tensor, and an
+optional data-parallel batch sharding over the device mesh
+(parallel/mesh.py).  Checkpoints via orbax (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_pattern_discovery_tpu.config import AutoencoderConfig
+
+_ACTS = {"relu": nn.relu, "tanh": nn.tanh, "gelu": nn.gelu}
+
+
+class AutoEncoder(nn.Module):
+    """MLP encoder/decoder; bottleneck = latent_dim."""
+
+    hidden_dims: tuple[int, ...]
+    latent_dim: int
+    out_dim: int
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        act = _ACTS[self.activation]
+        enc = []
+        for h in self.hidden_dims:
+            enc.append(nn.Dense(h, dtype=self.dtype))
+        enc.append(nn.Dense(self.latent_dim, dtype=self.dtype))
+        self.enc_layers = enc
+        dec = []
+        for h in reversed(self.hidden_dims):
+            dec.append(nn.Dense(h, dtype=self.dtype))
+        dec.append(nn.Dense(self.out_dim, dtype=self.dtype))
+        self.dec_layers = dec
+        self.act = act
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        h = x
+        for layer in self.enc_layers[:-1]:
+            h = self.act(layer(h))
+        return self.enc_layers[-1](h)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        h = z
+        for layer in self.dec_layers[:-1]:
+            h = self.act(layer(h))
+        return self.dec_layers[-1](h)
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        z = self.encode(x)
+        return self.decode(z), z
+
+
+@dataclass
+class FeatureScaler:
+    """Per-bin standardization fitted on the corpus; applied before encode."""
+
+    mean: np.ndarray   # [dim]
+    std: np.ndarray    # [dim]
+
+    @classmethod
+    def fit(cls, frames: np.ndarray) -> "FeatureScaler":
+        mean = frames.mean(axis=0)
+        std = np.maximum(frames.std(axis=0), 1e-6)
+        return cls(mean.astype(np.float32), std.astype(np.float32))
+
+    def transform(self, frames):
+        return (frames - self.mean) / self.std
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+
+def create_model(cfg: AutoencoderConfig, input_dim: int) -> AutoEncoder:
+    return AutoEncoder(
+        hidden_dims=cfg.hidden_dims,
+        latent_dim=cfg.latent_dim,
+        out_dim=input_dim,
+        activation=cfg.activation,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def init_state(
+    cfg: AutoencoderConfig, input_dim: int, rng: jax.Array
+) -> tuple[AutoEncoder, TrainState, optax.GradientTransformation]:
+    model = create_model(cfg, input_dim)
+    params = model.init(rng, jnp.zeros((1, input_dim), jnp.float32))
+    tx = optax.adam(cfg.learning_rate)
+    return model, TrainState(params, tx.init(params), 0), tx
+
+
+def make_train_step(model: AutoEncoder, tx: optax.GradientTransformation, denoising_std: float):
+    """Returns jitted (params, opt_state, batch, noise_key) -> (params, opt_state, loss)."""
+
+    def loss_fn(params, batch, noisy):
+        recon, _ = model.apply(params, noisy)
+        return jnp.mean((recon.astype(jnp.float32) - batch) ** 2)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, key):
+        noisy = batch
+        if denoising_std > 0.0:
+            noisy = batch + denoising_std * jax.random.normal(key, batch.shape)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, noisy)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def train_autoencoder(
+    frames: np.ndarray,            # [N, dim] standardized training frames
+    cfg: AutoencoderConfig,
+    log_every: int = 0,
+    logger=None,
+    data_sharding=None,            # optional jax.sharding.NamedSharding for DP
+) -> tuple[AutoEncoder, TrainState, list[float]]:
+    """Train on spectrogram frames; returns (model, state, per-epoch losses).
+
+    With `data_sharding`, each minibatch is placed sharded over the mesh's
+    data axis — XLA turns the gradient reduction into an ICI all-reduce
+    (DP over chips, SURVEY.md SS3 row 9).
+    """
+    n, dim = frames.shape
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    model, state, tx = init_state(cfg, dim, init_rng)
+    train_step = make_train_step(model, tx, cfg.denoising_std)
+
+    bs = min(cfg.batch_size, n)
+    if data_sharding is not None:
+        n_shards = data_sharding.mesh.devices.size
+        bs = max(n_shards, bs - bs % n_shards)
+    n_batches = max(1, n // bs)
+    frames_dev = jax.device_put(jnp.asarray(frames, jnp.float32))
+
+    params, opt_state = state.params, state.opt_state
+    shuffle_rng = np.random.default_rng(cfg.seed)
+    losses: list[float] = []
+    step = 0
+    for epoch in range(cfg.epochs):
+        perm = shuffle_rng.permutation(n)
+        epoch_loss = 0.0
+        for bi in range(n_batches):
+            idx = jnp.asarray(perm[bi * bs : (bi + 1) * bs])
+            batch = frames_dev[idx]
+            if data_sharding is not None:
+                batch = jax.lax.with_sharding_constraint(batch, data_sharding)
+            rng, key = jax.random.split(rng)
+            params, opt_state, loss = train_step(params, opt_state, batch, key)
+            epoch_loss += float(loss)
+            step += 1
+        losses.append(epoch_loss / n_batches)
+        if log_every and logger and (epoch + 1) % log_every == 0:
+            logger.info(f"AE epoch {epoch + 1}/{cfg.epochs} loss={losses[-1]:.5f}")
+    return model, TrainState(params, opt_state, step), losses
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _encode_batch(model: AutoEncoder, params, x: jax.Array) -> jax.Array:
+    return model.apply(params, x, method=AutoEncoder.encode)
+
+
+def encode_frames(
+    model: AutoEncoder, params, frames: jax.Array, chunk: int = 1 << 16
+) -> np.ndarray:
+    """Encode [N, dim] (or [..., dim]) frames -> latent [N, latent]."""
+    lead = frames.shape[:-1]
+    flat = jnp.reshape(frames, (-1, frames.shape[-1]))
+    n = flat.shape[0]
+    outs = []
+    for s in range(0, n, chunk):
+        piece = flat[s : s + chunk]
+        # Pad the tail to a multiple of 4096 so jit sees few distinct shapes.
+        pad = (-piece.shape[0]) % min(4096, chunk)
+        if pad:
+            piece = jnp.pad(piece, ((0, pad), (0, 0)))
+        z = np.asarray(_encode_batch(model, params, piece))
+        outs.append(z[: min(chunk, n - s)])
+    z = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return z.reshape(*lead, -1).astype(np.float32)

@@ -125,8 +125,15 @@ def spectrogram_from_config(
 
 
 def frame_energy(spectrograms: jax.Array, log_scale: bool = True) -> jax.Array:
-    """Per-frame energy [B, F] used by the segmenter (mean over bins)."""
+    """Per-frame energy [B, F]: log10 of *mean power* across bins.
+
+    Mean-of-logs (a geometric mean) would dilute narrowband signals below
+    the gate; arithmetic mean power keeps a tonal motif ~10*log10(SNR)
+    log-units above the noise floor, which is what the dB-relative
+    segmentation threshold assumes.
+    """
     if log_scale:
-        # spectrograms are log10-power; energy = mean power in dB-ish scale.
-        return jnp.mean(spectrograms, axis=-1)
-    return jnp.log10(jnp.maximum(jnp.mean(spectrograms, axis=-1), 1e-10))
+        power = jnp.power(10.0, spectrograms)   # undo log10 compression
+    else:
+        power = spectrograms
+    return jnp.log10(jnp.maximum(jnp.mean(power, axis=-1), 1e-10))

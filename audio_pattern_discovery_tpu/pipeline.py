@@ -1,0 +1,305 @@
+"""End-to-end discovery pipeline (SURVEY.md SS4.1) — the public entry point.
+
+Preserved interface (BASELINE.json north_star): a directory of WAV files in,
+discovered pattern clusters + DTW alignments out.
+
+Host/device split: file I/O, segmentation run-lengths, clustering, and
+report writing stay on host; the batched STFT, AE train/encode steps, and
+the batched wavefront DTW cross the host<->device boundary once per batch
+(SURVEY.md SS4.1 'process/device boundaries').
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from audio_pattern_discovery_tpu.cluster.agglomerative import cluster_distance_matrix
+from audio_pattern_discovery_tpu.config import PipelineConfig
+from audio_pattern_discovery_tpu.io.corpus import Clip, load_corpus, pad_and_stack
+from audio_pattern_discovery_tpu.io.wavio import write_wav
+from audio_pattern_discovery_tpu.models.autoencoder import (
+    FeatureScaler,
+    encode_frames,
+    train_autoencoder,
+)
+from audio_pattern_discovery_tpu.ops.backtrace import paths_from_dirs
+from audio_pattern_discovery_tpu.ops.dtw import dtw_batch_with_dirs
+from audio_pattern_discovery_tpu.ops.segmentation import Segment, segment_corpus
+from audio_pattern_discovery_tpu.ops.spectrogram import (
+    frame_energy,
+    spectrogram_from_config,
+)
+from audio_pattern_discovery_tpu.parallel.pair_scheduler import all_pairs_distances
+from audio_pattern_discovery_tpu.utils.logging import StageCounters, get_logger
+
+
+@dataclass
+class ClusterReport:
+    cluster_id: int
+    exemplar: int                      # segment index of the medoid
+    members: list[int]                 # segment indices
+    alignments: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
+
+
+@dataclass
+class DiscoveryResult:
+    config: PipelineConfig
+    clips: list[Clip]
+    segments: list[Segment]
+    seg_features: np.ndarray           # [K, L, d] padded DTW features
+    seg_lengths: np.ndarray            # [K]
+    distance_matrix: np.ndarray        # [K, K]
+    labels: np.ndarray                 # [K] flat cluster labels (0-based)
+    clusters: list[ClusterReport]
+    ae_losses: list[float]
+    counters: StageCounters
+
+    def manifest(self) -> dict:
+        """The cluster+alignment manifest (SS3 row 8)."""
+        hop = self.config.spectrogram.hop_length
+        win = self.config.spectrogram.win_length
+        clusters = []
+        for rep in self.clusters:
+            members = []
+            for m in rep.members:
+                seg = self.segments[m]
+                clip = self.clips[seg.clip]
+                members.append(
+                    {
+                        "segment": m,
+                        "file": clip.path,
+                        "start_frame": seg.start_frame,
+                        "end_frame": seg.end_frame,
+                        "start_sample": seg.start_frame * hop,
+                        "end_sample": (seg.end_frame - 1) * hop + win,
+                        "is_exemplar": m == rep.exemplar,
+                    }
+                )
+            clusters.append(
+                {
+                    "cluster_id": rep.cluster_id,
+                    "exemplar": rep.exemplar,
+                    "members": members,
+                    "alignments": {
+                        str(m): path for m, path in rep.alignments.items()
+                    },
+                }
+            )
+        return {
+            "n_clips": len(self.clips),
+            "n_segments": len(self.segments),
+            "n_clusters": len(self.clusters),
+            "clusters": clusters,
+            "counters": self.counters.to_dict(),
+        }
+
+
+def extract_segment_features(
+    spectrograms: np.ndarray,      # [B, F, bins]
+    segments: list[Segment],
+    max_len: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cut per-segment frame sequences and pad to [K, L, bins]."""
+    seqs = [
+        spectrograms[s.clip, s.start_frame : min(s.end_frame, s.start_frame + max_len)]
+        for s in segments
+    ]
+    return pad_and_stack(seqs, pad_to=max_len)
+
+
+def _medoid(D: np.ndarray, members: list[int]) -> int:
+    sub = D[np.ix_(members, members)]
+    return members[int(np.argmin(sub.sum(axis=1)))]
+
+
+def discover(
+    wav_dir: str | Path,
+    config: PipelineConfig | None = None,
+    out_dir: str | Path | None = None,
+    logger=None,
+) -> DiscoveryResult:
+    """Run the full discovery pipeline over a directory of WAV files."""
+    cfg = config or PipelineConfig()
+    log = logger or get_logger()
+    counters = StageCounters()
+
+    # ---- L0: ingest ------------------------------------------------------
+    with counters.time_stage("ingest"):
+        clips = load_corpus(wav_dir)
+        sigs = [c.samples for c in clips]
+        if cfg.spectrogram.normalize_signal:
+            sigs = [s / max(float(np.abs(s).max()), 1e-9) for s in sigs]
+        padded, sample_lengths = pad_and_stack(sigs, multiple_of=cfg.spectrogram.hop_length)
+    counters.add("clips", len(clips))
+    log.info(f"loaded {len(clips)} clips")
+
+    # ---- L1: spectrograms (device) --------------------------------------
+    with counters.time_stage("spectrogram"):
+        specs_dev, frame_counts_dev = spectrogram_from_config(
+            jnp.asarray(padded), jnp.asarray(sample_lengths), cfg.spectrogram
+        )
+        energies = np.asarray(frame_energy(specs_dev))
+        specs = np.asarray(specs_dev)
+        frame_counts = np.asarray(frame_counts_dev)
+    counters.add("frames", float(frame_counts.sum()))
+
+    # ---- L4: segmentation ------------------------------------------------
+    with counters.time_stage("segmentation"):
+        segments = segment_corpus(energies, frame_counts, cfg.segmentation)
+    counters.add("segments", len(segments))
+    log.info(f"segmented into {len(segments)} candidates")
+    if len(segments) < 2:
+        raise ValueError(
+            f"only {len(segments)} segments found; loosen segmentation config"
+        )
+
+    seg_frames, seg_lengths = extract_segment_features(
+        specs, segments, cfg.dtw.max_seq_len
+    )
+
+    # ---- L3: autoencoder embed (device) ---------------------------------
+    ae_losses: list[float] = []
+    if cfg.autoencoder.enabled:
+        with counters.time_stage("autoencoder_train"):
+            # Train on the real (unpadded) frames of all segments.
+            flat = np.concatenate(
+                [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
+            )
+            scaler = FeatureScaler.fit(flat)
+            model, state, ae_losses = train_autoencoder(
+                scaler.transform(flat).astype(np.float32), cfg.autoencoder, logger=log
+            )
+        with counters.time_stage("autoencoder_encode"):
+            features = encode_frames(
+                model, state.params, jnp.asarray(scaler.transform(seg_frames))
+            )
+    else:
+        features = seg_frames
+    counters.add("feature_dim", features.shape[-1])
+
+    # ---- L2: all-pairs wavefront DTW (device, the hot loop) -------------
+    with counters.time_stage("dtw"):
+        block_dir = None
+        if cfg.parallel.checkpoint_blocks and out_dir is not None:
+            block_dir = Path(out_dir) / cfg.parallel.block_dir
+        D = all_pairs_distances(
+            features, seg_lengths, cfg.dtw, block_dir=block_dir
+        )
+    n_pairs = len(segments) * (len(segments) - 1) // 2
+    counters.add("dtw_pairs", n_pairs)
+    dtw_s = counters.timings_s.get("dtw", 0.0)
+    if dtw_s > 0:
+        counters.add("dtw_pairs_per_sec", n_pairs / dtw_s)
+
+    # ---- L2: clustering (host) ------------------------------------------
+    with counters.time_stage("clustering"):
+        ccfg = cfg.cluster
+        thr = ccfg.distance_threshold
+        if thr is None and ccfg.n_clusters is None:
+            # Default cut: median of merge heights (data-driven, deterministic).
+            from audio_pattern_discovery_tpu.cluster.agglomerative import linkage
+
+            Z = linkage(D, ccfg.linkage)
+            thr = float(np.median(Z[:, 2])) if len(Z) else 0.0
+        labels, _ = cluster_distance_matrix(
+            D, ccfg.linkage, distance_threshold=thr, n_clusters=ccfg.n_clusters
+        )
+    counters.add("clusters_raw", len(np.unique(labels)))
+
+    # ---- L5: motif extraction + alignments ------------------------------
+    with counters.time_stage("extraction"):
+        clusters = _extract_clusters(
+            D, labels, features, seg_lengths, cfg
+        )
+    counters.add("clusters", len(clusters))
+    log.info(f"discovered {len(clusters)} pattern clusters")
+
+    result = DiscoveryResult(
+        config=cfg,
+        clips=clips,
+        segments=segments,
+        seg_features=features,
+        seg_lengths=seg_lengths,
+        distance_matrix=D,
+        labels=labels,
+        clusters=clusters,
+        ae_losses=ae_losses,
+        counters=counters,
+    )
+    if out_dir is not None:
+        write_artifacts(result, out_dir)
+    return result
+
+
+def _extract_clusters(
+    D: np.ndarray,
+    labels: np.ndarray,
+    features: np.ndarray,
+    seg_lengths: np.ndarray,
+    cfg: PipelineConfig,
+) -> list[ClusterReport]:
+    """Medoid exemplars + exemplar<->member alignments per cluster."""
+    reports: list[ClusterReport] = []
+    order = []
+    for lab in np.unique(labels):
+        members = np.flatnonzero(labels == lab).tolist()
+        if len(members) < cfg.cluster.min_cluster_size:
+            continue
+        order.append((len(members), -int(lab), members))
+    # Stable output ids: biggest clusters first (reference-style reporting).
+    order.sort(reverse=True)
+
+    for new_id, (_, _, members) in enumerate(order):
+        exemplar = _medoid(D, members)
+        rep = ClusterReport(cluster_id=new_id, exemplar=exemplar, members=members)
+        if cfg.output.write_alignments and len(members) > 1:
+            others = [m for m in members if m != exemplar]
+            a = features[np.full(len(others), exemplar)]
+            b = features[others]
+            la = seg_lengths[np.full(len(others), exemplar)]
+            lb = seg_lengths[others]
+            _, dirs = dtw_batch_with_dirs(
+                jnp.asarray(a),
+                jnp.asarray(b),
+                jnp.asarray(la),
+                jnp.asarray(lb),
+                metric=cfg.dtw.metric,
+                band=cfg.dtw.band,
+                auto_widen=cfg.dtw.auto_widen_band,
+            )
+            paths = paths_from_dirs(np.asarray(dirs), la, lb)
+            rep.alignments = {m: p for m, p in zip(others, paths)}
+        reports.append(rep)
+    return reports
+
+
+def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
+    """Cluster manifest + optional per-cluster audio snippets (SS3 row 8)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = result.config
+    (out / cfg.output.manifest_name).write_text(
+        json.dumps(result.manifest(), indent=2)
+    )
+    np.save(out / "distance_matrix.npy", result.distance_matrix)
+    if cfg.output.write_snippets:
+        hop = cfg.spectrogram.hop_length
+        win = cfg.spectrogram.win_length
+        snip_dir = out / "snippets"
+        snip_dir.mkdir(exist_ok=True)
+        for rep in result.clusters:
+            for m in rep.members:
+                seg = result.segments[m]
+                clip = result.clips[seg.clip]
+                s0 = seg.start_frame * hop
+                s1 = min((seg.end_frame - 1) * hop + win, len(clip.samples))
+                write_wav(
+                    snip_dir / f"cluster{rep.cluster_id:03d}_seg{m:05d}.wav",
+                    clip.samples[s0:s1],
+                    clip.sample_rate,
+                )

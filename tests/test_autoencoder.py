@@ -1,0 +1,71 @@
+import numpy as np
+
+from audio_pattern_discovery_tpu.config import AutoencoderConfig
+from audio_pattern_discovery_tpu.models.autoencoder import (
+    FeatureScaler,
+    encode_frames,
+    train_autoencoder,
+)
+
+
+def _toy_frames(rng, n=2048, dim=32, rank=4):
+    """Low-rank data the AE can compress losslessly-ish."""
+    basis = rng.normal(0, 1, (rank, dim))
+    coeff = rng.normal(0, 1, (n, rank))
+    return (coeff @ basis).astype(np.float32)
+
+
+def test_training_reduces_loss(rng):
+    frames = _toy_frames(rng)
+    cfg = AutoencoderConfig(
+        latent_dim=4, hidden_dims=(32,), epochs=20, batch_size=256, learning_rate=1e-2
+    )
+    _, _, losses = train_autoencoder(frames, cfg)
+    assert losses[-1] < 0.5 * losses[0]
+    assert losses[-1] < 0.2  # low-rank data must compress well
+
+
+def test_encode_shapes(rng):
+    frames = _toy_frames(rng, n=512)
+    cfg = AutoencoderConfig(latent_dim=6, hidden_dims=(16,), epochs=2, batch_size=128)
+    model, state, _ = train_autoencoder(frames, cfg)
+    z = encode_frames(model, state.params, frames)
+    assert z.shape == (512, 6)
+    assert z.dtype == np.float32
+    # 3-D (padded segments) path.
+    z3 = encode_frames(model, state.params, frames.reshape(8, 64, 32))
+    assert z3.shape == (8, 64, 6)
+    np.testing.assert_allclose(z3.reshape(512, 6), z, rtol=1e-5, atol=1e-5)
+
+
+def test_determinism(rng):
+    frames = _toy_frames(rng, n=512)
+    cfg = AutoencoderConfig(latent_dim=4, hidden_dims=(16,), epochs=3, batch_size=128)
+    import jax
+
+    _, s1, l1 = train_autoencoder(frames, cfg)
+    _, s2, l2 = train_autoencoder(frames, cfg)
+    assert l1 == l2
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda x, y: bool(np.array_equal(x, y)), s1.params, s2.params
+        )
+    )
+
+
+def test_scaler_roundtrip(rng):
+    frames = rng.normal(3.0, 2.5, (1000, 8)).astype(np.float32)
+    sc = FeatureScaler.fit(frames)
+    t = sc.transform(frames)
+    assert abs(t.mean()) < 1e-2
+    assert abs(t.std() - 1.0) < 1e-2
+
+
+def test_denoising_mode_trains(rng):
+    frames = _toy_frames(rng, n=512)
+    cfg = AutoencoderConfig(
+        latent_dim=4, hidden_dims=(16,), epochs=5, batch_size=128, denoising_std=0.3
+    )
+    _, _, losses = train_autoencoder(frames, cfg)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -1,0 +1,80 @@
+import numpy as np
+
+from audio_pattern_discovery_tpu.config import DTWConfig
+from audio_pattern_discovery_tpu.oracle.dtw import dtw_oracle
+from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+    all_pairs_distances,
+    bucket_lengths,
+    enumerate_pair_blocks,
+)
+
+
+def _features(rng, K=10, L=64, d=5):
+    lengths = rng.integers(8, L, K).astype(np.int32)
+    feats = rng.normal(0, 1, (K, L, d)).astype(np.float32)
+    for k in range(K):
+        feats[k, lengths[k]:] = 0.0
+    return feats, lengths
+
+
+def test_bucket_lengths():
+    np.testing.assert_array_equal(
+        bucket_lengths(np.array([1, 31, 32, 33, 200]), 32, 128),
+        [32, 32, 32, 64, 128],
+    )
+
+
+def test_blocks_cover_upper_triangle(rng):
+    _, lengths = _features(rng, K=17)
+    seen = set()
+    for bucket, ii, jj in enumerate_pair_blocks(lengths, pair_batch=7, bucket_step=16, max_len=64):
+        assert bucket <= 64
+        for i, j in zip(ii, jj):
+            assert i < j
+            assert max(lengths[i], lengths[j]) <= bucket
+            assert (i, j) not in seen
+            seen.add((int(i), int(j)))
+    assert len(seen) == 17 * 16 // 2
+
+
+def test_matrix_matches_oracle(rng):
+    feats, lengths = _features(rng, K=8, L=32)
+    cfg = DTWConfig(pair_batch=5, max_seq_len=32, use_pallas=False)
+    D = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
+    assert D.shape == (8, 8)
+    np.testing.assert_array_equal(np.diag(D), 0.0)
+    np.testing.assert_allclose(D, D.T)
+    for i in range(8):
+        for j in range(i + 1, 8):
+            want = dtw_oracle(
+                feats[i, : lengths[i]], feats[j, : lengths[j]], normalize="path_len"
+            )
+            np.testing.assert_allclose(D[i, j], want, rtol=1e-3, atol=1e-3)
+
+
+def test_block_checkpoint_resume(rng, tmp_path):
+    feats, lengths = _features(rng, K=8, L=32)
+    cfg = DTWConfig(pair_batch=5, max_seq_len=32)
+    D1 = all_pairs_distances(feats, lengths, cfg, block_dir=tmp_path)
+    n_blocks = len(list(tmp_path.glob("*.npz")))
+    assert n_blocks > 0
+    # Second run resumes entirely from blocks: feed garbage features to prove
+    # no recomputation happens.
+    garbage = np.zeros_like(feats)
+    D2 = all_pairs_distances(garbage, lengths, cfg, block_dir=tmp_path)
+    np.testing.assert_array_equal(D1, D2)
+
+
+def test_banded_all_pairs(rng):
+    feats, lengths = _features(rng, K=6, L=40)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=40, band=6)
+    D = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
+    for i in range(6):
+        for j in range(i + 1, 6):
+            want = dtw_oracle(
+                feats[i, : lengths[i]],
+                feats[j, : lengths[j]],
+                band=6,
+                normalize="path_len",
+            )
+            np.testing.assert_allclose(D[i, j], want, rtol=1e-3, atol=1e-3)

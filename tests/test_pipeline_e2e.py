@@ -1,0 +1,111 @@
+"""End-to-end behavioral contract test (SURVEY.md SS5.2): a synthesized
+corpus with planted motifs must come back out as clusters grouping the
+planted occurrences — the proxy for 'identical cluster assignments on the
+reference corpus' while the reference mount is empty (SS0)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from audio_pattern_discovery_tpu.config import PipelineConfig
+from audio_pattern_discovery_tpu.pipeline import discover
+from audio_pattern_discovery_tpu.synthetic import make_corpus
+
+
+def _small_config(ae: bool) -> PipelineConfig:
+    cfg = PipelineConfig()
+    cfg.spectrogram.sample_rate = 16_000
+    cfg.spectrogram.win_length = 256
+    cfg.spectrogram.hop_length = 128
+    cfg.spectrogram.max_bins = 64
+    cfg.segmentation.threshold_db = -25.0
+    cfg.segmentation.min_len_frames = 6
+    cfg.segmentation.merge_gap_frames = 3
+    cfg.autoencoder.enabled = ae
+    cfg.autoencoder.epochs = 8
+    cfg.autoencoder.hidden_dims = (64,)
+    cfg.autoencoder.latent_dim = 8
+    cfg.dtw.max_seq_len = 64
+    cfg.dtw.pair_batch = 128
+    cfg.cluster.linkage = "average"
+    return cfg
+
+
+def _cluster_purity(result, truth) -> float:
+    """Match each discovered segment to the planted motif whose occurrence it
+    overlaps; purity = fraction of cluster members agreeing with the cluster
+    majority motif."""
+    hop = result.config.spectrogram.hop_length
+    win = result.config.spectrogram.win_length
+
+    def motif_of(seg):
+        s0 = seg.start_frame * hop
+        s1 = (seg.end_frame - 1) * hop + win
+        best, best_ov = None, 0
+        for occ in truth:
+            if occ.clip != seg.clip:
+                continue
+            ov = min(s1, occ.start + occ.length) - max(s0, occ.start)
+            if ov > best_ov:
+                best, best_ov = occ.motif, ov
+        return best
+
+    agree = total = 0
+    for rep in result.clusters:
+        motifs = [motif_of(result.segments[m]) for m in rep.members]
+        motifs = [m for m in motifs if m is not None]
+        if not motifs:
+            continue
+        majority = max(set(motifs), key=motifs.count)
+        agree += sum(1 for m in motifs if m == majority)
+        total += len(motifs)
+    return agree / max(total, 1)
+
+
+@pytest.mark.parametrize("use_ae", [False, True])
+def test_discovery_recovers_planted_motifs(tmp_path, use_ae):
+    corpus_dir = tmp_path / "corpus"
+    truth = make_corpus(
+        corpus_dir,
+        n_clips=10,
+        n_motifs=3,
+        occurrences_per_clip=2,
+        clip_seconds=2.0,
+        sample_rate=16_000,
+        seed=7,
+    )
+    cfg = _small_config(use_ae)
+    out_dir = tmp_path / "out"
+    result = discover(corpus_dir, cfg, out_dir=out_dir)
+
+    # Segmentation found most planted occurrences.
+    assert len(result.segments) >= 0.7 * len(truth)
+    # Clusters group same-motif occurrences: purity well above chance (1/3).
+    purity = _cluster_purity(result, truth)
+    assert purity >= 0.75, f"cluster purity {purity:.2f}"
+
+    # Artifacts exist and are well-formed.
+    manifest = json.loads((out_dir / "clusters.json").read_text())
+    assert manifest["n_clusters"] == len(result.clusters)
+    assert (out_dir / "distance_matrix.npy").exists()
+    D = np.load(out_dir / "distance_matrix.npy")
+    assert D.shape == (len(result.segments),) * 2
+    snippets = list((out_dir / "snippets").glob("*.wav"))
+    assert len(snippets) == sum(len(r.members) for r in result.clusters)
+    # Alignment paths are monotone warping paths.
+    for cl in manifest["clusters"]:
+        for path in cl["alignments"].values():
+            assert path[0] == [0, 0]
+            for (i0, j0), (i1, j1) in zip(path, path[1:]):
+                assert (i1 - i0, j1 - j0) in {(1, 0), (0, 1), (1, 1)}
+
+
+def test_deterministic_end_to_end(tmp_path):
+    corpus_dir = tmp_path / "corpus"
+    make_corpus(corpus_dir, n_clips=6, n_motifs=2, clip_seconds=1.5, seed=3)
+    cfg = _small_config(False)
+    r1 = discover(corpus_dir, cfg)
+    r2 = discover(corpus_dir, cfg)
+    np.testing.assert_array_equal(r1.labels, r2.labels)
+    np.testing.assert_array_equal(r1.distance_matrix, r2.distance_matrix)
