@@ -77,9 +77,13 @@ def nn_chain_linkage(dist: np.ndarray, method: str = "average") -> np.ndarray:
         size[y] = sx + sy
         size[x] = 0
 
-    # scipy postprocessing: stable sort by height, then relabel rows into the
-    # public label space (originals 0..K-1, merged clusters K, K+1, ... in
-    # sorted-merge order) via a union-find, exactly like scipy's `label()`.
+    return _sort_and_relabel(merges, K)
+
+
+def _sort_and_relabel(merges: np.ndarray, K: int) -> np.ndarray:
+    """scipy postprocessing: stable sort by height, then relabel rows into the
+    public label space (originals 0..K-1, merged clusters K, K+1, ... in
+    sorted-merge order) via a union-find, exactly like scipy's `label()`."""
     order = np.argsort(merges[:, 2], kind="stable")
     Z = merges[order].copy()
     parent = np.arange(2 * K - 1, dtype=np.int64)
@@ -105,7 +109,17 @@ def nn_chain_linkage(dist: np.ndarray, method: str = "average") -> np.ndarray:
     return Z
 
 
-def linkage(dist: np.ndarray, method: str = "average") -> np.ndarray:
+def linkage(
+    dist: np.ndarray, method: str = "average", use_native: bool = True
+) -> np.ndarray:
+    """NN-chain linkage; prefers the C++ implementation when available
+    (bit-compatible: identical merges + postprocessing)."""
+    if use_native and dist.shape[0] >= 2:
+        from audio_pattern_discovery_tpu import native
+
+        if native.available():
+            merges = native.nn_chain_cpp(dist, method)
+            return _sort_and_relabel(merges, dist.shape[0])
     return nn_chain_linkage(dist, method)
 
 
@@ -159,9 +173,10 @@ def cluster_distance_matrix(
     method: str = "average",
     distance_threshold: float | None = None,
     n_clusters: int | None = None,
+    use_native: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Convenience: (labels [K], linkage Z [K-1, 4])."""
-    Z = linkage(dist, method)
+    Z = linkage(dist, method, use_native=use_native)
     labels = cut_linkage(
         Z, dist.shape[0], distance_threshold=distance_threshold, n_clusters=n_clusters
     )

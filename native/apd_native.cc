@@ -1,0 +1,233 @@
+// Native (C++) components of audio_pattern_discovery_tpu (SURVEY.md SS3 row 11).
+//
+// The reference implementation is entirely native (Rust, CPU).  On TPU the
+// idiomatic native tier for the *compute path* is XLA/Mosaic-compiled JAX +
+// Pallas; this library provides the native *runtime* pieces around it:
+//
+//   * apd_dtw_batch      — CPU DTW (the Rust-reference-equivalent hot loop).
+//                          Serves as (a) the measured CPU baseline that
+//                          BASELINE.json's ">=100x Rust CPU baseline" target
+//                          is computed against, and (b) a host fallback.
+//   * apd_nn_chain       — O(K^2) NN-chain agglomerative clustering with
+//                          Lance-Williams updates (bit-compatible with
+//                          cluster/agglomerative.py; used for large K).
+//   * apd_read_wav_pcm16 — fast RIFF/WAVE PCM16 demux for bulk ingest.
+//
+// Built with: g++ -O3 -march=native -shared -fPIC (+ -fopenmp for the
+// multithreaded batch path).  Bound via ctypes (native/__init__ loader);
+// pybind11 is not available in this environment.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+static inline float frame_cost(const float* a, const float* b, int d, int metric) {
+  // metric: 0 = euclidean, 1 = sqeuclidean, 2 = cosine
+  if (metric == 2) {
+    double dot = 0.0, na = 0.0, nb = 0.0;
+    for (int k = 0; k < d; ++k) {
+      dot += (double)a[k] * b[k];
+      na += (double)a[k] * a[k];
+      nb += (double)b[k] * b[k];
+    }
+    if (na == 0.0 || nb == 0.0) return 1.0f;
+    return (float)(1.0 - dot / (std::sqrt(na) * std::sqrt(nb)));
+  }
+  double acc = 0.0;
+  for (int k = 0; k < d; ++k) {
+    double diff = (double)a[k] - b[k];
+    acc += diff * diff;
+  }
+  return metric == 0 ? (float)std::sqrt(acc) : (float)acc;
+}
+
+// Single-pair DTW with Sakoe-Chiba band; rolling two-row buffers (O(M) mem).
+// band < 0 disables the band.  Matches oracle/dtw.py semantics exactly.
+float apd_dtw_pair(const float* a, const float* b, int n, int m, int d,
+                   int band, int metric, int auto_widen) {
+  const float INF = std::numeric_limits<float>::infinity();
+  int w = band < 0 ? std::max(n, m) : band;
+  if (band >= 0 && auto_widen) w = std::max(w, std::abs(n - m));
+
+  std::vector<float> prev(m, INF), cur(m, INF);
+  for (int i = 0; i < n; ++i) {
+    int jlo = std::max(0, i - w);
+    int jhi = std::min(m - 1, i + w);
+    std::fill(cur.begin(), cur.end(), INF);
+    for (int j = jlo; j <= jhi; ++j) {
+      float c = frame_cost(a + (size_t)i * d, b + (size_t)j * d, d, metric);
+      float pred;
+      if (i == 0 && j == 0) {
+        pred = 0.0f;
+      } else {
+        pred = prev[j];                                   // (i-1, j)
+        if (j > 0) pred = std::min(pred, cur[j - 1]);     // (i, j-1)
+        if (j > 0) pred = std::min(pred, prev[j - 1]);    // (i-1, j-1)
+      }
+      cur[j] = c + pred;
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m - 1];
+}
+
+// Batched CPU DTW over padded sequences [B, S, d]; out[B] distances.
+// n_threads <= 0 uses all cores; 1 gives the single-core reference baseline.
+void apd_dtw_batch(const float* a, const float* b, const int32_t* len_a,
+                   const int32_t* len_b, float* out, int B, int S, int d,
+                   int band, int metric, int auto_widen, int normalize,
+                   int n_threads) {
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int p = 0; p < B; ++p) {
+    const float* ap = a + (size_t)p * S * d;
+    const float* bp = b + (size_t)p * S * d;
+    float dist =
+        apd_dtw_pair(ap, bp, len_a[p], len_b[p], d, band, metric, auto_widen);
+    if (normalize == 1) dist /= (float)(len_a[p] + len_b[p]);
+    out[p] = dist;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// NN-chain agglomerative clustering (Lance-Williams).
+// dist: [K*K] row-major symmetric; Z_out: [(K-1)*4] scipy-style rows in
+// merge order BEFORE height-sorting/relabeling (the Python wrapper applies
+// the same postprocessing as cluster/agglomerative.py).
+// linkage: 0 single, 1 complete, 2 average, 3 weighted.
+// Returns 0 on success.
+int apd_nn_chain(const double* dist, int K, int linkage, double* Z_out) {
+  if (K < 2) return 0;
+  const double INF = std::numeric_limits<double>::infinity();
+  std::vector<double> D((size_t)K * K);
+  std::memcpy(D.data(), dist, sizeof(double) * (size_t)K * K);
+  for (int i = 0; i < K; ++i) D[(size_t)i * K + i] = INF;
+
+  std::vector<int64_t> size(K, 1);
+  std::vector<char> active(K, 1);
+  std::vector<int> chain;
+  chain.reserve(K);
+  int n_merged = 0;
+
+  while (n_merged < K - 1) {
+    if (chain.empty()) {
+      for (int i = 0; i < K; ++i)
+        if (active[i]) {
+          chain.push_back(i);
+          break;
+        }
+    }
+    int x, y;
+    double dxy;
+    for (;;) {
+      x = chain.back();
+      const double* row = &D[(size_t)x * K];
+      y = -1;
+      dxy = INF;
+      for (int z = 0; z < K; ++z) {
+        if (!active[z] || z == x) continue;
+        if (row[z] < dxy) {
+          dxy = row[z];
+          y = z;
+        }
+      }
+      if (chain.size() > 1 && D[(size_t)x * K + chain[chain.size() - 2]] == dxy)
+        y = chain[chain.size() - 2];
+      if (chain.size() > 1 && y == chain[chain.size() - 2]) break;
+      chain.push_back(y);
+    }
+    chain.pop_back();
+    chain.pop_back();
+
+    int64_t sx = size[x], sy = size[y];
+    Z_out[n_merged * 4 + 0] = x;
+    Z_out[n_merged * 4 + 1] = y;
+    Z_out[n_merged * 4 + 2] = dxy;
+    Z_out[n_merged * 4 + 3] = (double)(sx + sy);
+    ++n_merged;
+
+    for (int z = 0; z < K; ++z) {
+      double a_ = D[(size_t)x * K + z];
+      double b_ = D[(size_t)y * K + z];
+      double nv;
+      switch (linkage) {
+        case 0: nv = std::min(a_, b_); break;
+        case 1: nv = std::max(a_, b_); break;
+        case 2: nv = (sx * a_ + sy * b_) / (double)(sx + sy); break;
+        default: nv = 0.5 * (a_ + b_); break;
+      }
+      D[(size_t)y * K + z] = nv;
+      D[(size_t)z * K + y] = nv;
+    }
+    D[(size_t)y * K + y] = INF;
+    active[x] = 0;
+    size[y] = sx + sy;
+    size[x] = 0;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Minimal RIFF/WAVE PCM16 demuxer: mono-downmixed float32 output.
+// Returns n_samples on success (out may be null to query size), -1 on error.
+// sample_rate_out receives the rate.
+int64_t apd_read_wav_pcm16(const uint8_t* raw, int64_t raw_len, float* out,
+                           int32_t* sample_rate_out) {
+  if (raw_len < 12 || std::memcmp(raw, "RIFF", 4) != 0 ||
+      std::memcmp(raw + 8, "WAVE", 4) != 0)
+    return -1;
+  int64_t pos = 12;
+  int n_channels = 0, bits = 0;
+  int32_t rate = 0;
+  const uint8_t* data = nullptr;
+  uint32_t data_len = 0;
+  while (pos + 8 <= raw_len) {
+    uint32_t chunk_size;
+    std::memcpy(&chunk_size, raw + pos + 4, 4);
+    if (std::memcmp(raw + pos, "fmt ", 4) == 0 && chunk_size >= 16) {
+      uint16_t fmt, ch, ba, bi;
+      uint32_t sr;
+      std::memcpy(&fmt, raw + pos + 8, 2);
+      std::memcpy(&ch, raw + pos + 10, 2);
+      std::memcpy(&sr, raw + pos + 12, 4);
+      std::memcpy(&ba, raw + pos + 20, 2);
+      std::memcpy(&bi, raw + pos + 22, 2);
+      if (fmt != 1 || bi != 16) return -1;  // PCM16 only; python handles rest
+      n_channels = ch;
+      rate = (int32_t)sr;
+    } else if (std::memcmp(raw + pos, "data", 4) == 0) {
+      data = raw + pos + 8;
+      data_len = chunk_size;
+    }
+    pos += 8 + chunk_size + (chunk_size & 1);
+  }
+  if (!data || n_channels == 0) return -1;
+  int64_t n_frames = (int64_t)data_len / (2 * n_channels);
+  if (sample_rate_out) *sample_rate_out = rate;
+  if (out) {
+    const float scale = 1.0f / (32768.0f * n_channels);
+    for (int64_t t = 0; t < n_frames; ++t) {
+      int32_t acc = 0;
+      for (int c = 0; c < n_channels; ++c) {
+        int16_t v;
+        std::memcpy(&v, data + 2 * (t * n_channels + c), 2);
+        acc += v;
+      }
+      out[t] = acc * scale;
+    }
+  }
+  return n_frames;
+}
+
+}  // extern "C"

@@ -1,0 +1,73 @@
+"""C++ native components vs Python/NumPy oracles (SURVEY.md SS3 row 11)."""
+
+import numpy as np
+import pytest
+
+from audio_pattern_discovery_tpu import native
+from audio_pattern_discovery_tpu.cluster.agglomerative import (
+    _sort_and_relabel,
+    nn_chain_linkage,
+)
+from audio_pattern_discovery_tpu.io.corpus import pad_and_stack
+from audio_pattern_discovery_tpu.io.wavio import read_wav, write_wav
+from audio_pattern_discovery_tpu.oracle.cluster import linkage_oracle
+from audio_pattern_discovery_tpu.oracle.dtw import dtw_oracle
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def test_native_dtw_matches_oracle(rng):
+    sa = [rng.normal(0, 1, (rng.integers(5, 30), 6)).astype(np.float32) for _ in range(6)]
+    sb = [rng.normal(0, 1, (rng.integers(5, 30), 6)).astype(np.float32) for _ in range(6)]
+    a, la = pad_and_stack(sa, pad_to=32)
+    b, lb = pad_and_stack(sb, pad_to=32)
+    for metric in ("euclidean", "sqeuclidean", "cosine"):
+        got = native.dtw_batch_cpu(a, b, la, lb, metric=metric)
+        for p in range(6):
+            want = dtw_oracle(sa[p], sb[p], metric=metric)
+            np.testing.assert_allclose(got[p], want, rtol=1e-4, atol=1e-4)
+
+
+def test_native_dtw_banded_and_normalized(rng):
+    sa = [rng.normal(0, 1, (rng.integers(10, 40), 4)).astype(np.float32) for _ in range(4)]
+    sb = [rng.normal(0, 1, (rng.integers(10, 40), 4)).astype(np.float32) for _ in range(4)]
+    a, la = pad_and_stack(sa, pad_to=40)
+    b, lb = pad_and_stack(sb, pad_to=40)
+    got = native.dtw_batch_cpu(a, b, la, lb, band=5, normalize="path_len")
+    for p in range(4):
+        want = dtw_oracle(sa[p], sb[p], band=5, normalize="path_len")
+        np.testing.assert_allclose(got[p], want, rtol=1e-4, atol=1e-4)
+
+
+def test_native_dtw_multithreaded_identical(rng):
+    sa = [rng.normal(0, 1, (20, 4)).astype(np.float32) for _ in range(32)]
+    a, la = pad_and_stack(sa)
+    d1 = native.dtw_batch_cpu(a, a, la, la, n_threads=1)
+    dn = native.dtw_batch_cpu(a, a, la, la, n_threads=0)
+    np.testing.assert_array_equal(d1, dn)
+
+
+@pytest.mark.parametrize("method", ["single", "complete", "average", "weighted"])
+def test_native_nn_chain_matches_python_and_scipy(rng, method):
+    x = rng.normal(0, 1, (40, 6))
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    Z_cpp = _sort_and_relabel(native.nn_chain_cpp(d, method), 40)
+    Z_py = nn_chain_linkage(d, method)
+    np.testing.assert_allclose(Z_cpp, Z_py, rtol=1e-12)
+    Z_ref = linkage_oracle(d, method)
+    np.testing.assert_allclose(Z_cpp[:, 2], Z_ref[:, 2], rtol=1e-9)
+    np.testing.assert_array_equal(Z_cpp[:, :2], Z_ref[:, :2])
+
+
+def test_native_wav_demux_matches_python(tmp_path, rng):
+    x = rng.uniform(-0.9, 0.9, 8000).astype(np.float32)
+    path = tmp_path / "t.wav"
+    write_wav(path, x, 16_000)
+    got = native.read_wav_pcm16(path)
+    assert got is not None
+    samples, rate = got
+    ref, ref_rate = read_wav(path)
+    assert rate == ref_rate
+    np.testing.assert_allclose(samples, ref, atol=1e-6)
