@@ -13,4 +13,32 @@ the driver-authored capability spec, not file:line).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Each CLI invocation is a fresh process; without this every run repays
+    the full XLA compile cost (~2-3 min on the TPU tunnel) for identical
+    programs.  Opt out with APD_NO_COMPILE_CACHE=1.
+    """
+    if _os.environ.get("APD_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = _os.environ.get(
+        "APD_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "apd_jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass
+
+
+_enable_compilation_cache()
+
 from audio_pattern_discovery_tpu.config import PipelineConfig  # noqa: F401

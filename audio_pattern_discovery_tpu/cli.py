@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dump-config", action="store_true", help="print config and exit")
     p.add_argument("--json-logs", action="store_true")
+    p.add_argument(
+        "--trace",
+        type=Path,
+        metavar="DIR",
+        help="capture an XLA profiler trace of the run into DIR",
+    )
     return p
 
 
@@ -60,7 +66,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(cfg.to_dict(), indent=2))
         return 0
     log = get_logger(json_lines=args.json_logs)
-    result = discover(args.wav_dir, cfg, out_dir=args.out_dir, logger=log)
+    if args.trace:
+        from audio_pattern_discovery_tpu.utils.profiling import trace_to
+
+        with trace_to(args.trace):
+            result = discover(args.wav_dir, cfg, out_dir=args.out_dir, logger=log)
+    else:
+        result = discover(args.wav_dir, cfg, out_dir=args.out_dir, logger=log)
     print(
         json.dumps(
             {

@@ -77,6 +77,12 @@ class AutoencoderConfig:
     # If False the pipeline runs DTW over raw spectrogram frames (the
     # minimum end-to-end slice, SURVEY.md SS8 P3).
     enabled: bool = True
+    # Orbax checkpoint/resume (SURVEY.md SS6.4): with `checkpoint` on and an
+    # out_dir given, the trained state+scaler persist under
+    # out_dir/<checkpoint_dir>; an existing checkpoint is restored instead
+    # of retraining.
+    checkpoint: bool = False
+    checkpoint_dir: str = "ae_ckpt"
 
 
 @dataclass

@@ -165,15 +165,38 @@ def discover(
     # ---- L3: autoencoder embed (device) ---------------------------------
     ae_losses: list[float] = []
     if cfg.autoencoder.enabled:
+        ckpt_dir = None
+        if cfg.autoencoder.checkpoint and out_dir is not None:
+            ckpt_dir = Path(out_dir) / cfg.autoencoder.checkpoint_dir
         with counters.time_stage("autoencoder_train"):
             # Train on the real (unpadded) frames of all segments.
             flat = np.concatenate(
                 [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
             )
-            scaler = FeatureScaler.fit(flat)
-            model, state, ae_losses = train_autoencoder(
-                scaler.transform(flat).astype(np.float32), cfg.autoencoder, logger=log
-            )
+            restored = False
+            if ckpt_dir is not None:
+                from audio_pattern_discovery_tpu.utils.checkpoint import (
+                    has_ae_checkpoint,
+                    restore_ae_checkpoint,
+                    save_ae_checkpoint,
+                )
+
+                if has_ae_checkpoint(ckpt_dir):
+                    model, state, saved_scaler = restore_ae_checkpoint(
+                        ckpt_dir, cfg.autoencoder, seg_frames.shape[-1]
+                    )
+                    scaler = saved_scaler or FeatureScaler.fit(flat)
+                    restored = True
+                    log.info(f"restored AE checkpoint from {ckpt_dir}")
+            if not restored:
+                scaler = FeatureScaler.fit(flat)
+                model, state, ae_losses = train_autoencoder(
+                    scaler.transform(flat).astype(np.float32),
+                    cfg.autoencoder,
+                    logger=log,
+                )
+                if ckpt_dir is not None:
+                    save_ae_checkpoint(ckpt_dir, state, scaler)
         with counters.time_stage("autoencoder_encode"):
             features = encode_frames(
                 model, state.params, jnp.asarray(scaler.transform(seg_frames))
