@@ -35,6 +35,11 @@ class SpectrogramConfig:
     normalize_signal: bool = True   # peak-normalize each clip to [-1, 1]
     # Optional dimensionality cap on frequency bins (keep lowest `max_bins`).
     max_bins: int | None = None
+    # Streaming tile shape for corpus extraction: [clip_batch, chunk_frames]
+    # device tiles give ONE compiled program for any corpus and bound device
+    # memory for hours-long recordings (BASELINE config 5; SS8 P1).
+    clip_batch: int = 16
+    chunk_frames: int = 1024
 
     @property
     def fft_size(self) -> int:
@@ -93,8 +98,11 @@ class DTWConfig:
     auto_widen_band: bool = True    # widen band to >= |len_a - len_b|
     metric: str = "euclidean"       # "euclidean" | "sqeuclidean" | "cosine"
     normalize: str = "path_len"     # "none" | "path_len" (divide by N+M)
-    # Pair-batching knobs for the TPU kernel.
-    pair_batch: int = 512           # pairs per device dispatch
+    # Pair-batching knobs for the TPU kernel.  Large dispatches amortize the
+    # per-call overhead (measured ~27 ms RPC floor on the tunneled backend);
+    # the scheduler clamps this to the corpus's own pair count, so small
+    # corpora are unaffected.
+    pair_batch: int = 8192          # pairs per device dispatch
     max_seq_len: int = 256          # pad/bucket ceiling for segment length
     length_bucketing: bool = True
     use_pallas: bool = True         # anti-diagonal wavefront Pallas kernel
@@ -119,6 +127,8 @@ class OutputConfig:
 
     write_snippets: bool = True     # per-cluster WAV snippets
     write_alignments: bool = True   # exemplar<->member warping paths
+    write_images: bool = True       # per-cluster spectrogram PNGs
+    max_images_per_cluster: int = 8
     manifest_name: str = "clusters.json"
 
 

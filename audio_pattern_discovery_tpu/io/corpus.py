@@ -30,17 +30,46 @@ def load_corpus(
     wav_dir: str | Path,
     pattern: str = "*.wav",
     expected_rate: int | None = None,
+    use_native: bool = True,
 ) -> list[Clip]:
-    """Read every WAV under `wav_dir` (sorted for determinism)."""
+    """Read every WAV under `wav_dir` (sorted for determinism).
+
+    Fast path: the native C++ parallel demuxer (native.load_wavs_batch,
+    OpenMP thread pool) ingests plain-PCM16 corpora in bulk; anything it
+    can't parse falls back to the per-file Python reader, which handles
+    8/24/32-bit and IEEE-float WAVs and is the correctness oracle
+    (tested equal in tests/test_native.py).
+    """
     paths = sorted(Path(wav_dir).glob(pattern))
     if not paths:
         raise FileNotFoundError(f"no {pattern} files under {wav_dir}")
-    clips = []
-    for p in paths:
-        samples, rate = read_wav(p)
-        if expected_rate is not None and rate != expected_rate:
-            raise ValueError(f"{p}: sample rate {rate} != expected {expected_rate}")
-        clips.append(Clip(path=str(p), samples=samples, sample_rate=rate))
+
+    clips: list[Clip] | None = None
+    if use_native:
+        from audio_pattern_discovery_tpu import native
+
+        res = native.load_wavs_batch(paths)
+        if res is not None:
+            padded, lengths, rates = res
+            clips = [
+                Clip(
+                    path=str(p),
+                    samples=padded[i, : lengths[i]],
+                    sample_rate=int(rates[i]),
+                )
+                for i, p in enumerate(paths)
+            ]
+    if clips is None:
+        clips = []
+        for p in paths:
+            samples, rate = read_wav(p)
+            clips.append(Clip(path=str(p), samples=samples, sample_rate=rate))
+    if expected_rate is not None:
+        for c in clips:
+            if c.sample_rate != expected_rate:
+                raise ValueError(
+                    f"{c.path}: sample rate {c.sample_rate} != expected {expected_rate}"
+                )
     return clips
 
 

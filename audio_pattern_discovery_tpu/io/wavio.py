@@ -3,9 +3,9 @@
 Host-side reader: parses RIFF chunks directly with NumPy (no librosa /
 soundfile in the environment), normalizes PCM to float32 in [-1, 1], and
 downmixes multichannel to mono.  Supports PCM 8/16/24/32-bit and IEEE
-float32/64.  A native C++ demuxer (native/wavdemux.cc) accelerates bulk
-ingest; this module is the portable fallback and the correctness oracle
-for it.
+float32/64.  The native C++ demuxer (native/apd_native.cc: apd_wav_load_batch,
+OpenMP-parallel) accelerates bulk PCM16 ingest via io/corpus.load_corpus;
+this module is the portable fallback and the correctness oracle for it.
 """
 
 from __future__ import annotations

@@ -76,6 +76,24 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.apd_wav_info_batch.restype = ctypes.c_int
+    lib.apd_wav_info_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
+    lib.apd_wav_load_batch.restype = ctypes.c_int
+    lib.apd_wav_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -171,3 +189,53 @@ def read_wav_pcm16(path: str | Path) -> tuple[np.ndarray, int] | None:
         ctypes.byref(rate),
     )
     return out, int(rate.value)
+
+
+def load_wavs_batch(
+    paths: list[str | Path],
+    n_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Parallel bulk WAV ingest (the native data loader, SS3 rows 1 & 11).
+
+    Header-probes every file in parallel to size the padded batch, then
+    reads + decodes all files with an OpenMP thread pool directly into the
+    padded [B, max_len] float32 array the spectrogram op consumes.
+
+    Returns (padded [B, N], lengths [B], rates [B]) or None if the library
+    is unavailable or any file is not plain PCM16 (caller falls back to the
+    Python reader, which handles 8/24/32-bit and float formats).
+    """
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    c_paths = (ctypes.c_char_p * len(paths))(
+        *[str(p).encode() for p in paths]
+    )
+    n_samples = np.empty(len(paths), dtype=np.int64)
+    rates = np.empty(len(paths), dtype=np.int32)
+    rc = lib.apd_wav_info_batch(
+        c_paths,
+        len(paths),
+        n_samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if rc != 0:
+        return None
+    stride = int(n_samples.max())
+    if stride <= 0:
+        return None
+    out = np.zeros((len(paths), stride), dtype=np.float32)
+    lengths = np.empty(len(paths), dtype=np.int32)
+    rc = lib.apd_wav_load_batch(
+        c_paths,
+        len(paths),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stride,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if rc != 0:
+        return None
+    return out, lengths, rates

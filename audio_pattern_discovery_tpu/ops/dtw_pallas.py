@@ -43,9 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 # (a jnp scalar would be a captured device constant, which pallas rejects).
 INF = float("inf")
 
-# VMEM ceiling for the Gram scratch: PB * S * S * 4 <= 8 MiB at S=512, PB=8.
+# VMEM ceiling for the Gram scratch: PB=128 at S=128, PB=8 at S=512.
 MAX_KERNEL_SEQ_LEN = 512
-_CMAT_VMEM_BUDGET = 4 * 1024 * 1024
+_CMAT_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def default_pair_block(seq_len: int) -> int:
@@ -53,7 +53,8 @@ def default_pair_block(seq_len: int) -> int:
 
     The row loop is latency-bound (S sequential steps); per-step throughput
     is PB*S lanes, so PB directly multiplies VPU utilization.  Cap so
-    PB*S*S*4 bytes of cost matrix fits the VMEM budget.
+    PB*S*S*4 bytes of cost matrix fits the VMEM budget (the pallas_call
+    lifts Mosaic's scoped-VMEM limit to match; a v5e core has 128 MiB).
     """
     pb = _CMAT_VMEM_BUDGET // (seq_len * seq_len * 4)
     return int(max(8, min(128, 1 << (pb.bit_length() - 1))))
@@ -214,9 +215,18 @@ def dtw_batch_pallas(
         metric=metric,
     )
     grid = (Bp // PB,)
+    # The Mosaic default scoped-VMEM limit is 16 MiB; a v5e core has 128 MiB.
+    # Lift it so fat pair blocks (PB >= 128 at S=128) fit: the Gram scratch
+    # alone is PB*S*S*4 bytes, and Mosaic additionally accounts input double
+    # buffers and layout copies, so a tight per-shape estimate undercounts.
+    # The real constraint is physical VMEM; let the compiler budget up to it.
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((PB, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

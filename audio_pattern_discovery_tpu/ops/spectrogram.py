@@ -124,6 +124,111 @@ def spectrogram_from_config(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "win_length",
+        "hop_length",
+        "window",
+        "n_fft",
+        "power",
+        "log_scale",
+        "log_floor",
+        "max_bins",
+    ),
+)
+def _spectrogram_energy_tile(signals, lengths, **kw):
+    """One fused device call per tile: spectrogram + frame counts + energy.
+
+    A separate eager frame_energy would cost extra dispatch round-trips per
+    tile; fused, the whole tile is one XLA program (one dispatch).
+    """
+    out, fc = batched_spectrogram(signals, lengths, **kw)
+    en = frame_energy(out, log_scale=kw.get("log_scale", True))
+    return out, fc, en
+
+
+def spectrogram_corpus(
+    sigs: list[np.ndarray],
+    cfg: SpectrogramConfig,
+    *,
+    clip_batch: int = 16,
+    chunk_frames: int = 1024,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Streaming corpus STFT with *fixed* device shapes (SURVEY.md SS8 P1).
+
+    Ragged clips -> ([B, F_max, bins] log-spectrograms, [B] frame counts,
+    [B, F_max] frame energies), computed in [clip_batch, chunk_samples]
+    device tiles.  Why not one padded [B, N_max] call:
+
+    * every new corpus length would compile a new XLA program (minutes on a
+      tunneled backend); the fixed tile compiles once, ever;
+    * hours-long field recordings (BASELINE config 5) at 44.1 kHz would not
+      fit HBM padded to max length; tiles bound device memory at
+      clip_batch * chunk_samples regardless of corpus size.
+
+    Tiles are hop-aligned with win-hop sample overlap, so the assembled
+    frames are bit-identical to a single-shot batched_spectrogram call
+    (tested in tests/test_spectrogram.py).
+    """
+    if not sigs:
+        raise ValueError("empty corpus")
+    win, hop = cfg.win_length, cfg.hop_length
+    B = len(sigs)
+    frames_per_clip = np.array(
+        [num_frames(len(s), win, hop) for s in sigs], dtype=np.int32
+    )
+    F_max = int(frames_per_clip.max())
+    if F_max == 0:
+        raise ValueError(f"no clip reaches win_length={win} samples")
+    CF = int(chunk_frames)
+    chunk_samples = CF * hop + (win - hop)
+    bins = cfg.n_bins
+    specs = np.full((B, F_max, bins), np.float32(0.0), dtype=np.float32)
+    if cfg.log_scale:
+        specs[:] = np.log10(np.float32(cfg.log_floor))
+    frame_counts = frames_per_clip.copy()
+    energies = np.full((B, F_max), np.log10(np.float32(1e-10)), dtype=np.float32)
+
+    tile_sig = np.zeros((clip_batch, chunk_samples), dtype=np.float32)
+    for g0 in range(0, B, clip_batch):
+        group = sigs[g0 : g0 + clip_batch]
+        g_frames = frames_per_clip[g0 : g0 + clip_batch]
+        n_chunks = max(1, -(-int(g_frames.max()) // CF))
+        for c in range(n_chunks):
+            s0 = c * CF * hop
+            tile_sig[:] = 0.0
+            tile_len = np.zeros((clip_batch,), dtype=np.int32)
+            for k, sig in enumerate(group):
+                avail = max(0, len(sig) - s0)
+                take = min(avail, chunk_samples)
+                if take > 0:
+                    tile_sig[k, :take] = sig[s0 : s0 + take]
+                tile_len[k] = take
+            out, fc, en = _spectrogram_energy_tile(
+                jnp.asarray(tile_sig),
+                jnp.asarray(tile_len),
+                win_length=cfg.win_length,
+                hop_length=cfg.hop_length,
+                window=cfg.window,
+                n_fft=cfg.n_fft,
+                power=cfg.power,
+                log_scale=cfg.log_scale,
+                log_floor=cfg.log_floor,
+                max_bins=cfg.max_bins,
+            )
+            out_np = np.asarray(out)
+            en_np = np.asarray(en)
+            fc_np = np.asarray(fc)
+            f0 = c * CF
+            for k in range(len(group)):
+                n = min(int(fc_np[k]), CF, F_max - f0)
+                if n > 0:
+                    specs[g0 + k, f0 : f0 + n] = out_np[k, :n]
+                    energies[g0 + k, f0 : f0 + n] = en_np[k, :n]
+    return specs, frame_counts, energies
+
+
 def frame_energy(spectrograms: jax.Array, log_scale: bool = True) -> jax.Array:
     """Per-frame energy [B, F]: log10 of *mean power* across bins.
 

@@ -135,12 +135,17 @@ def all_pairs_distances(
     progress: Callable[[int, int], None] | None = None,
     devices: list | None = None,
     matmul_dtype: str | None = None,
+    max_retries: int = 1,
 ) -> np.ndarray:
     """Symmetric [K, K] DTW distance matrix over all segment pairs.
 
     `devices`: optional explicit device list; pair blocks round-robin across
     them (single-host multi-chip DP over pair space).  Default: one device.
     `block_dir`: persist each block's distances for crash resume.
+    `max_retries`: failure detection (SURVEY.md SS6.3) — a block whose
+    dispatch or materialization raises is retried synchronously up to this
+    many times before the error propagates; completed blocks are unaffected
+    (and, with `block_dir`, already persisted).
     """
     K, L, _ = features.shape
     lengths = np.asarray(lengths, dtype=np.int32)
@@ -161,18 +166,33 @@ def all_pairs_distances(
         block_dir = Path(block_dir)
         block_dir.mkdir(parents=True, exist_ok=True)
 
-    blocks = list(enumerate_pair_blocks(lengths, cfg.pair_batch, step, L))
+    # Effective batch: don't pad a tiny workload up to the configured TPU
+    # batch — round the corpus's own pair count to a lane-friendly multiple.
+    n_all_pairs = K * (K - 1) // 2
+    B = int(min(cfg.pair_batch, max(8, -(-n_all_pairs // 8) * 8)))
+    blocks = list(enumerate_pair_blocks(lengths, B, step, L))
     total_pairs = sum(len(ii) for _, ii, _ in blocks)
     done_pairs = 0
 
     # In-flight results per device for simple pipelining: dispatch to every
     # device, then collect — keeps all chips busy without async bookkeeping.
-    pending: list[tuple[np.ndarray, np.ndarray, jax.Array, Path | None]] = []
+    pending: list[tuple[np.ndarray, np.ndarray, Callable, jax.Array, Path | None]] = []
 
     def drain():
         nonlocal done_pairs
-        for ii, jj, fut, path in pending:
-            vals = np.asarray(fut)[: len(ii)]
+        for ii, jj, dispatch, fut, path in pending:
+            try:
+                vals = np.asarray(fut)[: len(ii)]
+            except Exception:
+                vals = None
+                for attempt in range(max_retries):
+                    try:
+                        vals = np.asarray(dispatch())[: len(ii)]
+                        break
+                    except Exception:
+                        if attempt == max_retries - 1:
+                            raise
+                assert vals is not None
             D[ii, jj] = vals
             D[jj, ii] = vals
             if path is not None:
@@ -198,7 +218,6 @@ def all_pairs_distances(
 
         # Pad the final partial block to the fixed batch size (extra entries
         # are self-pairs of index 0; discarded on collection).
-        B = cfg.pair_batch
         ii_pad = np.zeros(B, dtype=np.int32)
         jj_pad = np.zeros(B, dtype=np.int32)
         ii_pad[: len(ii)] = ii
@@ -210,20 +229,30 @@ def all_pairs_distances(
             cfg.use_pallas and bucket <= MAX_KERNEL_SEQ_LEN and _on_tpu()
         )
         di = bi % len(devices)
-        fut = _dtw_block(
-            feats_dev[di],
-            lens_dev[di],
-            jax.device_put(jnp.asarray(ii_pad), devices[di]),
-            jax.device_put(jnp.asarray(jj_pad), devices[di]),
-            bucket=bucket,
-            metric=cfg.metric,
-            band=cfg.band,
-            auto_widen=cfg.auto_widen_band,
-            normalize=cfg.normalize,
-            matmul_dtype=matmul_dtype or (cfg.dtype if cfg.dtype == "bfloat16" else None),
-            use_pallas=use_pallas,
-        )
-        pending.append((ii, jj, fut, path))
+
+        def dispatch(di=di, ii_pad=ii_pad, jj_pad=jj_pad, bucket=bucket, use_pallas=use_pallas):
+            return _dtw_block(
+                feats_dev[di],
+                lens_dev[di],
+                jax.device_put(jnp.asarray(ii_pad), devices[di]),
+                jax.device_put(jnp.asarray(jj_pad), devices[di]),
+                bucket=bucket,
+                metric=cfg.metric,
+                band=cfg.band,
+                auto_widen=cfg.auto_widen_band,
+                normalize=cfg.normalize,
+                matmul_dtype=matmul_dtype
+                or (cfg.dtype if cfg.dtype == "bfloat16" else None),
+                use_pallas=use_pallas,
+            )
+
+        try:
+            fut = dispatch()
+        except Exception:
+            if max_retries < 1:
+                raise
+            fut = dispatch()
+        pending.append((ii, jj, dispatch, fut, path))
         if len(pending) >= 2 * len(devices):
             drain()
     drain()

@@ -30,10 +30,7 @@ from audio_pattern_discovery_tpu.models.autoencoder import (
 from audio_pattern_discovery_tpu.ops.backtrace import paths_from_dirs
 from audio_pattern_discovery_tpu.ops.dtw import dtw_batch_with_dirs
 from audio_pattern_discovery_tpu.ops.segmentation import Segment, segment_corpus
-from audio_pattern_discovery_tpu.ops.spectrogram import (
-    frame_energy,
-    spectrogram_from_config,
-)
+from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
 from audio_pattern_discovery_tpu.parallel.pair_scheduler import all_pairs_distances
 from audio_pattern_discovery_tpu.utils.logging import StageCounters, get_logger
 
@@ -52,6 +49,7 @@ class DiscoveryResult:
     clips: list[Clip]
     segments: list[Segment]
     seg_features: np.ndarray           # [K, L, d] padded DTW features
+    seg_spectrograms: np.ndarray       # [K, L, bins] raw (log) spectrogram cuts
     seg_lengths: np.ndarray            # [K]
     distance_matrix: np.ndarray        # [K, K]
     labels: np.ndarray                 # [K] flat cluster labels (0-based)
@@ -134,18 +132,17 @@ def discover(
         sigs = [c.samples for c in clips]
         if cfg.spectrogram.normalize_signal:
             sigs = [s / max(float(np.abs(s).max()), 1e-9) for s in sigs]
-        padded, sample_lengths = pad_and_stack(sigs, multiple_of=cfg.spectrogram.hop_length)
     counters.add("clips", len(clips))
     log.info(f"loaded {len(clips)} clips")
 
-    # ---- L1: spectrograms (device) --------------------------------------
+    # ---- L1: spectrograms (device, fixed-shape streaming tiles) ---------
     with counters.time_stage("spectrogram"):
-        specs_dev, frame_counts_dev = spectrogram_from_config(
-            jnp.asarray(padded), jnp.asarray(sample_lengths), cfg.spectrogram
+        specs, frame_counts, energies = spectrogram_corpus(
+            sigs,
+            cfg.spectrogram,
+            clip_batch=cfg.spectrogram.clip_batch,
+            chunk_frames=cfg.spectrogram.chunk_frames,
         )
-        energies = np.asarray(frame_energy(specs_dev))
-        specs = np.asarray(specs_dev)
-        frame_counts = np.asarray(frame_counts_dev)
     counters.add("frames", float(frame_counts.sum()))
 
     # ---- L4: segmentation ------------------------------------------------
@@ -251,6 +248,7 @@ def discover(
         clips=clips,
         segments=segments,
         seg_features=features,
+        seg_spectrograms=seg_frames,
         seg_lengths=seg_lengths,
         distance_matrix=D,
         labels=labels,
@@ -314,6 +312,16 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
         json.dumps(result.manifest(), indent=2)
     )
     np.save(out / "distance_matrix.npy", result.distance_matrix)
+    if cfg.output.write_images and result.clusters:
+        from audio_pattern_discovery_tpu.io.images import write_cluster_images
+
+        write_cluster_images(
+            out / "images",
+            result.clusters,
+            result.seg_spectrograms,
+            result.seg_lengths,
+            max_per_cluster=cfg.output.max_images_per_cluster,
+        )
     if cfg.output.write_snippets:
         hop = cfg.spectrogram.hop_length
         win = cfg.spectrogram.win_length

@@ -20,6 +20,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <limits>
 #include <vector>
@@ -228,6 +229,111 @@ int64_t apd_read_wav_pcm16(const uint8_t* raw, int64_t raw_len, float* out,
     }
   }
   return n_frames;
+}
+
+// Header-only probe on a file *prefix*: walks RIFF chunks and stops at the
+// "data" chunk header (its declared size is enough — the body need not be in
+// the buffer).  Returns mono sample count, or -1 if not parseable PCM16.
+int64_t apd_wav_header_info(const uint8_t* raw, int64_t raw_len,
+                            int32_t* sample_rate_out) {
+  if (raw_len < 12 || std::memcmp(raw, "RIFF", 4) != 0 ||
+      std::memcmp(raw + 8, "WAVE", 4) != 0)
+    return -1;
+  int64_t pos = 12;
+  int n_channels = 0;
+  int32_t rate = 0;
+  while (pos + 8 <= raw_len) {
+    uint32_t chunk_size;
+    std::memcpy(&chunk_size, raw + pos + 4, 4);
+    if (std::memcmp(raw + pos, "fmt ", 4) == 0) {
+      if (pos + 8 + 16 > raw_len || chunk_size < 16) return -1;
+      uint16_t fmt, ch, bi;
+      uint32_t sr;
+      std::memcpy(&fmt, raw + pos + 8, 2);
+      std::memcpy(&ch, raw + pos + 10, 2);
+      std::memcpy(&sr, raw + pos + 12, 4);
+      std::memcpy(&bi, raw + pos + 22, 2);
+      if (fmt != 1 || bi != 16) return -1;
+      n_channels = ch;
+      rate = (int32_t)sr;
+    } else if (std::memcmp(raw + pos, "data", 4) == 0) {
+      if (n_channels <= 0) return -1;
+      if (sample_rate_out) *sample_rate_out = rate;
+      return (int64_t)chunk_size / (2 * n_channels);
+    }
+    pos += 8 + chunk_size + (chunk_size & 1);
+  }
+  return -1;
+}
+
+static std::vector<uint8_t> read_file_bytes(const char* path, int64_t max_bytes) {
+  std::vector<uint8_t> buf;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return buf;
+  if (max_bytes < 0) {
+    std::fseek(f, 0, SEEK_END);
+    max_bytes = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+  }
+  buf.resize((size_t)max_bytes);
+  size_t got = std::fread(buf.data(), 1, (size_t)max_bytes, f);
+  std::fclose(f);
+  buf.resize(got);
+  return buf;
+}
+
+// Parallel header probe: per-file mono sample counts + rates.
+// n_samples[i] = -1 for unreadable / non-PCM16 files.  Returns #failures.
+int apd_wav_info_batch(const char* const* paths, int n_files,
+                       int64_t* n_samples, int32_t* rates, int n_threads) {
+  int n_fail = 0;
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic) reduction(+ : n_fail)
+#endif
+  for (int i = 0; i < n_files; ++i) {
+    std::vector<uint8_t> head = read_file_bytes(paths[i], 64 * 1024);
+    int32_t rate = 0;
+    int64_t n = apd_wav_header_info(head.data(), (int64_t)head.size(), &rate);
+    n_samples[i] = n;
+    rates[i] = rate;
+    if (n < 0) ++n_fail;
+  }
+  return n_fail;
+}
+
+// Bulk parallel ingest (the native data loader, SURVEY.md SS3 rows 1 & 11):
+// read + decode n_files PCM16 WAVs into the caller's zero-filled row-major
+// [n_files, stride] float32 array.  Clips longer than stride are truncated;
+// lengths[i] receives the stored sample count (-1 on failure).  Returns the
+// number of failed files.
+int apd_wav_load_batch(const char* const* paths, int n_files, float* out,
+                       int64_t stride, int32_t* lengths, int32_t* rates,
+                       int n_threads) {
+  int n_fail = 0;
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic) reduction(+ : n_fail)
+#endif
+  for (int i = 0; i < n_files; ++i) {
+    std::vector<uint8_t> raw = read_file_bytes(paths[i], -1);
+    int32_t rate = 0;
+    int64_t n =
+        apd_read_wav_pcm16(raw.data(), (int64_t)raw.size(), nullptr, &rate);
+    if (n < 0) {
+      lengths[i] = -1;
+      rates[i] = 0;
+      ++n_fail;
+      continue;
+    }
+    std::vector<float> tmp((size_t)n);
+    apd_read_wav_pcm16(raw.data(), (int64_t)raw.size(), tmp.data(), &rate);
+    int64_t keep = std::min(n, stride);
+    std::memcpy(out + (size_t)i * stride, tmp.data(), sizeof(float) * keep);
+    lengths[i] = (int32_t)keep;
+    rates[i] = rate;
+  }
+  return n_fail;
 }
 
 }  // extern "C"

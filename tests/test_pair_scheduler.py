@@ -78,3 +78,45 @@ def test_banded_all_pairs(rng):
                 normalize="path_len",
             )
             np.testing.assert_allclose(D[i, j], want, rtol=1e-3, atol=1e-3)
+
+
+def test_block_retry_on_transient_failure(rng, monkeypatch):
+    """A block whose materialization raises once is retried (SS6.3)."""
+    import audio_pattern_discovery_tpu.parallel.pair_scheduler as ps
+
+    feats, lengths = _features(rng, K=6, L=32)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=32, use_pallas=False)
+    want = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
+
+    real_asarray = np.asarray
+    fails = {"left": 1}
+
+    def flaky_asarray(x, *a, **kw):
+        # Fail exactly once, only for device futures (jax arrays).
+        if fails["left"] and hasattr(x, "addressable_shards"):
+            fails["left"] -= 1
+            raise RuntimeError("injected transient device failure")
+        return real_asarray(x, *a, **kw)
+
+    monkeypatch.setattr(ps.np, "asarray", flaky_asarray)
+    got = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
+    monkeypatch.undo()
+    assert fails["left"] == 0, "fault was never injected"
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_block_retry_exhausted_raises(rng, monkeypatch):
+    import audio_pattern_discovery_tpu.parallel.pair_scheduler as ps
+    import pytest
+
+    feats, lengths = _features(rng, K=6, L=32)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=32, use_pallas=False)
+
+    def always_fail(x, *a, **kw):
+        if hasattr(x, "addressable_shards"):
+            raise RuntimeError("injected permanent device failure")
+        return np.ndarray.__array__(np.empty(0)) if False else np.array(x, *a, **kw)
+
+    monkeypatch.setattr(ps.np, "asarray", always_fail)
+    with pytest.raises(RuntimeError, match="permanent"):
+        all_pairs_distances(feats, lengths, cfg, bucket_step=8, max_retries=1)

@@ -109,3 +109,20 @@ def test_deterministic_end_to_end(tmp_path):
     r2 = discover(corpus_dir, cfg)
     np.testing.assert_array_equal(r1.labels, r2.labels)
     np.testing.assert_array_equal(r1.distance_matrix, r2.distance_matrix)
+
+
+def test_cluster_images_written(tmp_path):
+    from audio_pattern_discovery_tpu.config import PipelineConfig
+    from audio_pattern_discovery_tpu.pipeline import discover
+    from audio_pattern_discovery_tpu.synthetic import make_corpus
+
+    make_corpus(tmp_path / "corpus", n_clips=6, n_motifs=2, seed=3)
+    cfg = PipelineConfig()
+    cfg.autoencoder.enabled = False
+    cfg.dtw.band = 16
+    cfg.dtw.use_pallas = False
+    out = tmp_path / "out"
+    result = discover(tmp_path / "corpus", cfg, out_dir=out)
+    pngs = sorted((out / "images").glob("*.png"))
+    assert len(pngs) == len(result.clusters)
+    assert all(p.stat().st_size > 500 for p in pngs)

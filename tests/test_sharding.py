@@ -1,0 +1,109 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md SS5.2 'multi-chip without a cluster'; SS3 rows 9-10).
+
+The same pjit/NamedSharding code paths run unchanged on a real v5e slice;
+here 8 fake CPU devices stand in for the chips.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from audio_pattern_discovery_tpu.config import (
+    AutoencoderConfig,
+    DTWConfig,
+    ParallelConfig,
+)
+from audio_pattern_discovery_tpu.models.autoencoder import create_model
+from audio_pattern_discovery_tpu.parallel.mesh import (
+    ae_param_sharding,
+    data_sharding,
+    make_mesh,
+    replicated,
+)
+from audio_pattern_discovery_tpu.parallel.pair_scheduler import all_pairs_distances
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def _features(rng, K, L, d=6):
+    lengths = rng.integers(L // 2, L + 1, K).astype(np.int32)
+    feats = rng.normal(0, 1, (K, L, d)).astype(np.float32)
+    return feats, lengths
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(ParallelConfig(model_axis=2), devices=jax.devices())
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "model": 2}
+    mesh = make_mesh(ParallelConfig(), devices=jax.devices())
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 8, "model": 1}
+
+
+def test_all_pairs_multi_device_matches_single(rng):
+    """Pair blocks round-robin over 8 devices == single-device result."""
+    feats, lengths = _features(rng, K=10, L=32)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=32, use_pallas=False)
+    D1 = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
+    D8 = all_pairs_distances(
+        feats, lengths, cfg, bucket_step=8, devices=list(jax.devices())
+    )
+    np.testing.assert_allclose(D1, D8, rtol=1e-6, atol=1e-6)
+
+
+def test_ae_train_step_dp_tp(rng):
+    """One jitted AE train step over a 4x2 DPxTP mesh produces finite loss
+    and keeps the hidden-dim sharding on the params."""
+    mesh = make_mesh(ParallelConfig(model_axis=2), devices=jax.devices())
+    BINS, BATCH = 32, 16
+    cfg = AutoencoderConfig(latent_dim=4, hidden_dims=(16,))
+    model = create_model(cfg, BINS)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, BINS), jnp.float32))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    p_shard = ae_param_sharding(mesh, params)
+    d_shard = data_sharding(mesh)
+    params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(
+        opt_state, jax.tree_util.tree_map(lambda _: replicated(mesh), opt_state)
+    )
+    batch = jax.device_put(
+        jnp.asarray(rng.normal(0, 1, (BATCH, BINS)).astype(np.float32)), d_shard
+    )
+
+    def loss_fn(p, x):
+        recon, _ = model.apply(p, x)
+        return jnp.mean((recon - x) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    new_params, _, loss = step(params, opt_state, batch)
+    assert np.isfinite(float(loss))
+
+    # 2-D kernels keep the model-axis sharding after the update.
+    kernels = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(new_params)
+        if getattr(leaf, "ndim", 0) == 2
+    ]
+    assert kernels
+    for k in kernels:
+        spec = k.sharding.spec
+        assert spec == P(None, "model"), spec
+
+
+def test_sharded_batch_is_actually_distributed(rng):
+    mesh = make_mesh(ParallelConfig(), devices=jax.devices())
+    d_shard = data_sharding(mesh)
+    x = jax.device_put(jnp.zeros((16, 4), jnp.float32), d_shard)
+    devs = {s.device for s in x.addressable_shards}
+    assert len(devs) == 8

@@ -75,3 +75,52 @@ def test_frame_energy_shape(rng):
     )
     e = frame_energy(spec)
     assert e.shape == spec.shape[:2]
+
+
+def test_corpus_tiling_matches_single_shot(rng):
+    """Streaming [clip_batch, chunk] tiles == one padded batched call."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.io.corpus import pad_and_stack
+    from audio_pattern_discovery_tpu.ops.spectrogram import (
+        batched_spectrogram,
+        spectrogram_corpus,
+    )
+
+    cfg = SpectrogramConfig(win_length=64, hop_length=16)
+    sigs = [
+        rng.normal(0, 0.3, int(n)).astype(np.float32)
+        for n in rng.integers(200, 2000, 7)
+    ]
+    specs, fcs, energies = spectrogram_corpus(
+        sigs, cfg, clip_batch=3, chunk_frames=10
+    )
+    padded, lengths = pad_and_stack(sigs)
+    want, want_fc = batched_spectrogram(
+        jnp.asarray(padded),
+        jnp.asarray(lengths),
+        win_length=cfg.win_length,
+        hop_length=cfg.hop_length,
+    )
+    want = np.asarray(want)
+    np.testing.assert_array_equal(fcs, np.asarray(want_fc))
+    for i, fc in enumerate(fcs):
+        np.testing.assert_allclose(
+            specs[i, :fc], want[i, :fc], rtol=1e-6, atol=1e-6
+        )
+    assert specs.shape[1] == int(fcs.max())
+    assert energies.shape == specs.shape[:2]
+
+
+def test_corpus_tiling_short_clip_zero_frames(rng):
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
+
+    cfg = SpectrogramConfig(win_length=64, hop_length=16)
+    sigs = [
+        rng.normal(0, 0.3, 500).astype(np.float32),
+        rng.normal(0, 0.3, 10).astype(np.float32),  # shorter than win
+    ]
+    specs, fcs, _ = spectrogram_corpus(sigs, cfg, clip_batch=4, chunk_frames=8)
+    assert fcs[1] == 0 and fcs[0] > 0

@@ -65,3 +65,44 @@ def test_read_other_depths(tmp_path, rng, bits):
     path.write_bytes(hdr + data)
     y, sr = read_wav(path)
     np.testing.assert_allclose(y, expected, atol=1e-6)
+
+
+def test_native_batch_loader_matches_python(tmp_path, rng):
+    """The C++ parallel demuxer and the Python reader agree bit-for-bit."""
+    import pytest
+
+    from audio_pattern_discovery_tpu import native
+    from audio_pattern_discovery_tpu.io.corpus import load_corpus
+    from audio_pattern_discovery_tpu.io.wavio import write_wav
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for i in range(5):
+        n = int(rng.integers(1000, 5000))
+        write_wav(tmp_path / f"c{i}.wav", rng.normal(0, 0.2, n), 16000)
+    fast = load_corpus(tmp_path, use_native=True)
+    slow = load_corpus(tmp_path, use_native=False)
+    assert len(fast) == len(slow) == 5
+    for f, s in zip(fast, slow):
+        assert f.path == s.path and f.sample_rate == s.sample_rate
+        np.testing.assert_array_equal(f.samples, s.samples)
+
+
+def test_native_loader_falls_back_on_nonpcm16(tmp_path, rng):
+    """A float32 WAV in the corpus routes the whole load to the Python path."""
+    import struct
+
+    from audio_pattern_discovery_tpu.io.corpus import load_corpus
+    from audio_pattern_discovery_tpu.io.wavio import write_wav
+
+    write_wav(tmp_path / "a.wav", rng.normal(0, 0.2, 2000), 16000)
+    # Hand-rolled IEEE float32 WAV.
+    x = rng.normal(0, 0.2, 1500).astype(np.float32)
+    pcm = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    (tmp_path / "b.wav").write_bytes(hdr + pcm)
+    clips = load_corpus(tmp_path, use_native=True)
+    assert len(clips) == 2
+    np.testing.assert_allclose(clips[1].samples, x, atol=1e-7)

@@ -22,8 +22,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 SEQ_LEN = 128
 LATENT_DIM = 16
 BAND = 16
-BATCH = 8192
-DEPTH = 8  # pipelined enqueue depth
+BATCH = 32_768
+DEPTH = 4  # pipelined enqueue depth
 
 
 def log(msg):
@@ -62,7 +62,7 @@ def main() -> int:
             a, b, la, lb, band=BAND, normalize="path_len", pair_block=pb
         )
 
-    for pb in (32, 64, 128):
+    for pb in (64, 128, 256, 512):
         try:
             t0 = time.perf_counter()
             np.asarray(run(pb))
