@@ -29,10 +29,18 @@ import numpy as np
 
 from audio_pattern_discovery_tpu.config import DTWConfig
 from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
 from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     MAX_KERNEL_SEQ_LEN,
     dtw_batch_pallas,
 )
+
+
+def _long_block_size(bucket: int, cap: int = 256) -> int:
+    """Largest power-of-two divisor of `bucket`, capped — the tile size for
+    the blocked long-sequence path (ops/dtw_long.py needs S % block == 0)."""
+    p = bucket & (-bucket)
+    return int(min(p, cap))
 
 
 def _on_tpu() -> bool:
@@ -106,6 +114,20 @@ def _dtw_block(
             band=band,
             auto_widen=auto_widen,
             normalize=normalize,
+        )
+    if bucket > MAX_KERNEL_SEQ_LEN:
+        # Over-long bucket: the blocked wavefront keeps memory at boundary
+        # vectors instead of the scan path's [B, S, S] HBM cost tensor.
+        return dtw_long_batch(
+            a,
+            b,
+            la,
+            lb,
+            metric=metric,
+            band=band,
+            auto_widen=auto_widen,
+            normalize=normalize,
+            block=_long_block_size(bucket),
         )
     return dtw_batch(
         a,

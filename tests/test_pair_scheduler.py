@@ -120,3 +120,20 @@ def test_block_retry_exhausted_raises(rng, monkeypatch):
     monkeypatch.setattr(ps.np, "asarray", always_fail)
     with pytest.raises(RuntimeError, match="permanent"):
         all_pairs_distances(feats, lengths, cfg, bucket_step=8, max_retries=1)
+
+
+def test_overlong_bucket_routes_to_blocked_path(rng):
+    """Buckets beyond the Pallas VMEM ceiling use the blocked long-DTW."""
+    K, L = 5, 576  # > MAX_KERNEL_SEQ_LEN = 512
+    lengths = rng.integers(520, L + 1, K).astype(np.int32)
+    feats = rng.normal(0, 1, (K, L, 3)).astype(np.float32)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=L, band=24, use_pallas=False,
+                    length_bucketing=False)
+    D = all_pairs_distances(feats, lengths, cfg)
+    for i in range(K):
+        for j in range(i + 1, K):
+            want = dtw_oracle(
+                feats[i, : lengths[i]], feats[j, : lengths[j]],
+                band=24, normalize="path_len",
+            )
+            np.testing.assert_allclose(D[i, j], want, rtol=1e-3, atol=1e-3)

@@ -107,3 +107,62 @@ def test_sharded_batch_is_actually_distributed(rng):
     x = jax.device_put(jnp.zeros((16, 4), jnp.float32), d_shard)
     devs = {s.device for s in x.addressable_shards}
     assert len(devs) == 8
+
+
+def test_wavefront_sharded_matches_single_device(rng):
+    """One long pair decomposed across 8 devices == single-device blocked DTW."""
+    from jax.sharding import Mesh
+
+    from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
+    from audio_pattern_discovery_tpu.parallel.wavefront import (
+        dtw_wavefront_sharded,
+        shard_b_for_wavefront,
+    )
+
+    B, S, d = 2, 64, 4
+    a = rng.normal(0, 1, (B, S, d)).astype(np.float32)
+    b = rng.normal(0, 1, (B, S, d)).astype(np.float32)
+    la = rng.integers(S // 2, S + 1, B).astype(np.int32)
+    lb = rng.integers(S // 2, S + 1, B).astype(np.int32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("seq",))
+    b_sh = shard_b_for_wavefront(jnp.asarray(b), mesh)
+    got = np.asarray(
+        dtw_wavefront_sharded(
+            jnp.asarray(a), b_sh, jnp.asarray(la), jnp.asarray(lb), mesh, block=8
+        )
+    )
+    want = np.asarray(
+        dtw_long_batch(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb), block=8
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_wavefront_sharded_banded(rng):
+    from jax.sharding import Mesh
+
+    from audio_pattern_discovery_tpu.oracle.dtw import dtw_oracle
+    from audio_pattern_discovery_tpu.parallel.wavefront import (
+        dtw_wavefront_sharded,
+        shard_b_for_wavefront,
+    )
+
+    B, S, d = 2, 64, 4
+    a = rng.normal(0, 1, (B, S, d)).astype(np.float32)
+    b = rng.normal(0, 1, (B, S, d)).astype(np.float32)
+    la = np.full(B, S, np.int32)
+    lb = np.full(B, S - 5, np.int32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("seq",))
+    b_sh = shard_b_for_wavefront(jnp.asarray(b), mesh)
+    got = np.asarray(
+        dtw_wavefront_sharded(
+            jnp.asarray(a), b_sh, jnp.asarray(la), jnp.asarray(lb), mesh,
+            band=10, block=8, normalize="path_len",
+        )
+    )
+    for i in range(B):
+        want = dtw_oracle(a[i, : la[i]], b[i, : lb[i]], band=10, normalize="path_len")
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
