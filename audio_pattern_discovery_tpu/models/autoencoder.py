@@ -115,8 +115,7 @@ def make_train_step(model: AutoEncoder, tx: optax.GradientTransformation, denois
         recon, _ = model.apply(params, noisy)
         return jnp.mean((recon.astype(jnp.float32) - batch) ** 2)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, key):
+    def train_step_inner(params, opt_state, batch, key):
         noisy = batch
         if denoising_std > 0.0:
             noisy = batch + denoising_std * jax.random.normal(key, batch.shape)
@@ -125,7 +124,45 @@ def make_train_step(model: AutoEncoder, tx: optax.GradientTransformation, denois
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    train_step = jax.jit(train_step_inner, donate_argnums=(0, 1))
+    train_step.inner = train_step_inner
     return train_step
+
+
+def make_train_epoch(
+    model: AutoEncoder,
+    tx: optax.GradientTransformation,
+    denoising_std: float,
+    data_sharding=None,
+):
+    """One fused device dispatch per epoch: `lax.scan` over the minibatches.
+
+    The per-step Python loop costs ~4 host<->device round-trips per batch
+    (eager gather, eager key split, blocking loss sync) — fatal on a
+    remote-relay backend with a ~27 ms dispatch floor.  Scanning the whole
+    epoch on device collapses that to one dispatch; the gather and RNG
+    splits fuse into the compiled program.
+    """
+    step_inner = make_train_step(model, tx, denoising_std).inner
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, frames, perm, rng):
+        # perm: [n_batches, bs] int32 minibatch index matrix for this epoch.
+        def body(carry, idx):
+            params, opt_state, rng = carry
+            rng, key = jax.random.split(rng)
+            batch = frames[idx]
+            if data_sharding is not None:
+                batch = jax.lax.with_sharding_constraint(batch, data_sharding)
+            params, opt_state, loss = step_inner(params, opt_state, batch, key)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), perm
+        )
+        return params, opt_state, rng, jnp.mean(losses)
+
+    return train_epoch
 
 
 def train_autoencoder(
@@ -145,7 +182,7 @@ def train_autoencoder(
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     model, state, tx = init_state(cfg, dim, init_rng)
-    train_step = make_train_step(model, tx, cfg.denoising_std)
+    train_epoch = make_train_epoch(model, tx, cfg.denoising_std, data_sharding)
 
     bs = min(cfg.batch_size, n)
     if data_sharding is not None:
@@ -157,23 +194,20 @@ def train_autoencoder(
     params, opt_state = state.params, state.opt_state
     shuffle_rng = np.random.default_rng(cfg.seed)
     losses: list[float] = []
-    step = 0
+    loss_futs: list = []
     for epoch in range(cfg.epochs):
-        perm = shuffle_rng.permutation(n)
-        epoch_loss = 0.0
-        for bi in range(n_batches):
-            idx = jnp.asarray(perm[bi * bs : (bi + 1) * bs])
-            batch = frames_dev[idx]
-            if data_sharding is not None:
-                batch = jax.lax.with_sharding_constraint(batch, data_sharding)
-            rng, key = jax.random.split(rng)
-            params, opt_state, loss = train_step(params, opt_state, batch, key)
-            epoch_loss += float(loss)
-            step += 1
-        losses.append(epoch_loss / n_batches)
+        perm = shuffle_rng.permutation(n)[: n_batches * bs].reshape(n_batches, bs)
+        params, opt_state, rng, epoch_loss = train_epoch(
+            params, opt_state, frames_dev, jnp.asarray(perm), rng
+        )
         if log_every and logger and (epoch + 1) % log_every == 0:
-            logger.info(f"AE epoch {epoch + 1}/{cfg.epochs} loss={losses[-1]:.5f}")
-    return model, TrainState(params, opt_state, step), losses
+            # Sync only when asked to log; otherwise epochs stay in flight.
+            logger.info(
+                f"AE epoch {epoch + 1}/{cfg.epochs} loss={float(epoch_loss):.5f}"
+            )
+        loss_futs.append(epoch_loss)
+    losses = [float(x) for x in loss_futs]
+    return model, TrainState(params, opt_state, cfg.epochs * n_batches), losses
 
 
 @partial(jax.jit, static_argnames=("model",))

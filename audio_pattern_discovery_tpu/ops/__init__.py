@@ -11,3 +11,5 @@ from audio_pattern_discovery_tpu.ops.dtw import (  # noqa: F401
 )
 from audio_pattern_discovery_tpu.ops.backtrace import walk_path, paths_from_dirs  # noqa: F401
 from audio_pattern_discovery_tpu.ops.segmentation import segment_corpus  # noqa: F401
+from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus  # noqa: F401
+from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch  # noqa: F401

@@ -8,3 +8,7 @@ from audio_pattern_discovery_tpu.parallel.pair_scheduler import (  # noqa: F401
     all_pairs_distances,
     enumerate_pair_blocks,
 )
+from audio_pattern_discovery_tpu.parallel.wavefront import (  # noqa: F401
+    dtw_wavefront_sharded,
+    shard_b_for_wavefront,
+)

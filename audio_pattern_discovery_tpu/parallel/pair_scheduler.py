@@ -196,33 +196,37 @@ def all_pairs_distances(
     total_pairs = sum(len(ii) for _, ii, _ in blocks)
     done_pairs = 0
 
-    # In-flight results per device for simple pipelining: dispatch to every
-    # device, then collect — keeps all chips busy without async bookkeeping.
+    # In-flight results for pipelining: keep a sliding window of dispatched
+    # blocks and sync only the oldest when the window is full, so the device
+    # queue never empties between host-side collections.
     pending: list[tuple[np.ndarray, np.ndarray, Callable, jax.Array, Path | None]] = []
 
-    def drain():
+    def collect_one():
         nonlocal done_pairs
-        for ii, jj, dispatch, fut, path in pending:
-            try:
-                vals = np.asarray(fut)[: len(ii)]
-            except Exception:
-                vals = None
-                for attempt in range(max_retries):
-                    try:
-                        vals = np.asarray(dispatch())[: len(ii)]
-                        break
-                    except Exception:
-                        if attempt == max_retries - 1:
-                            raise
-                assert vals is not None
-            D[ii, jj] = vals
-            D[jj, ii] = vals
-            if path is not None:
-                np.savez(path, ii=ii, jj=jj, d=vals)
-            done_pairs += len(ii)
-            if progress:
-                progress(done_pairs, total_pairs)
-        pending.clear()
+        ii, jj, dispatch, fut, path = pending.pop(0)
+        try:
+            vals = np.asarray(fut)[: len(ii)]
+        except Exception:
+            vals = None
+            for attempt in range(max_retries):
+                try:
+                    vals = np.asarray(dispatch())[: len(ii)]
+                    break
+                except Exception:
+                    if attempt == max_retries - 1:
+                        raise
+            assert vals is not None
+        D[ii, jj] = vals
+        D[jj, ii] = vals
+        if path is not None:
+            np.savez(path, ii=ii, jj=jj, d=vals)
+        done_pairs += len(ii)
+        if progress:
+            progress(done_pairs, total_pairs)
+
+    def drain():
+        while pending:
+            collect_one()
 
     for bi, (bucket, ii, jj) in enumerate(blocks):
         path = None
@@ -253,11 +257,13 @@ def all_pairs_distances(
         di = bi % len(devices)
 
         def dispatch(di=di, ii_pad=ii_pad, jj_pad=jj_pad, bucket=bucket, use_pallas=use_pallas):
+            # Index vectors ride along with the jitted call (one transfer
+            # fused into the dispatch — no separate eager device_puts).
             return _dtw_block(
                 feats_dev[di],
                 lens_dev[di],
-                jax.device_put(jnp.asarray(ii_pad), devices[di]),
-                jax.device_put(jnp.asarray(jj_pad), devices[di]),
+                ii_pad,
+                jj_pad,
                 bucket=bucket,
                 metric=cfg.metric,
                 band=cfg.band,
@@ -275,7 +281,7 @@ def all_pairs_distances(
                 raise
             fut = dispatch()
         pending.append((ii, jj, dispatch, fut, path))
-        if len(pending) >= 2 * len(devices):
-            drain()
+        if len(pending) >= 4 * len(devices):
+            collect_one()
     drain()
     return D

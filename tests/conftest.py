@@ -29,6 +29,10 @@ import jax  # noqa: E402
 if os.environ.get("APD_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
 
+# SURVEY.md SS6.2: JAX is functional so data races are structurally absent;
+# the numerics sanitizer is NaN trapping on every primitive's output.
+jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""BASELINE config 4 at full scale: all-pairs banded wavefront DTW over 10k
+latent sequences on one chip, through the production pair-block scheduler.
+
+Prints pairs/s and total wall time to stderr and one JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+N_SEQ = int(__import__("os").environ.get("APD_SCALE_N", 10_000))
+SEQ_LEN = 128
+LATENT_DIM = 16
+BAND = 16
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        all_pairs_distances,
+    )
+
+    log(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(0)
+    feats = rng.normal(0, 1, (N_SEQ, SEQ_LEN, LATENT_DIM)).astype(np.float32)
+    lengths = rng.integers(SEQ_LEN // 2, SEQ_LEN + 1, N_SEQ).astype(np.int32)
+    cfg = DTWConfig(band=BAND, pair_batch=32_768, max_seq_len=SEQ_LEN)
+
+    n_pairs = N_SEQ * (N_SEQ - 1) // 2
+    t_last = [time.time()]
+
+    def progress(done, total):
+        now = time.time()
+        if now - t_last[0] > 15:
+            t_last[0] = now
+            log(f"  {done:,}/{total:,} pairs ({100*done/total:.1f}%)")
+
+    t0 = time.time()
+    D = all_pairs_distances(feats, lengths, cfg, progress=progress)
+    wall = time.time() - t0
+    pps = n_pairs / wall
+    log(f"all-pairs: {n_pairs:,} pairs in {wall:.1f}s = {pps:,.0f} pairs/s")
+    log(f"D checks: sym_err={np.abs(D - D.T).max()}, diag={np.abs(np.diag(D)).max()}, finite={np.isfinite(D).all()}")
+    print(json.dumps({
+        "metric": "allpairs_10k_banded_dtw_pairs_per_sec",
+        "value": round(pps, 1),
+        "unit": "pairs/s",
+        "wall_s": round(wall, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
