@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_config:
         print(json.dumps(cfg.to_dict(), indent=2))
         return 0
+    try:
+        cfg.validate()
+    except ValueError as e:
+        build_parser().error(str(e))
     log = get_logger(json_lines=args.json_logs)
     if args.trace:
         from audio_pattern_discovery_tpu.utils.profiling import trace_to

@@ -156,6 +156,52 @@ class PipelineConfig:
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     seed: int = 0
 
+    # ------------------------------------------------------------ validation
+    def validate(self) -> "PipelineConfig":
+        """Fail fast on malformed knobs with messages naming the field."""
+        sp, dt, cl = self.spectrogram, self.dtw, self.cluster
+
+        def check(cond, msg):
+            if not cond:
+                raise ValueError(f"invalid config: {msg}")
+
+        check(sp.win_length > 0, f"spectrogram.win_length={sp.win_length} must be > 0")
+        check(sp.hop_length > 0, f"spectrogram.hop_length={sp.hop_length} must be > 0")
+        check(
+            sp.hop_length <= sp.win_length,
+            f"spectrogram.hop_length={sp.hop_length} > win_length={sp.win_length}",
+        )
+        check(
+            sp.n_fft is None or sp.n_fft >= sp.win_length,
+            f"spectrogram.n_fft={sp.n_fft} < win_length={sp.win_length}",
+        )
+        check(sp.window in ("hann", "hamming", "rect"), f"spectrogram.window={sp.window!r}")
+        check(sp.clip_batch > 0, "spectrogram.clip_batch must be > 0")
+        check(sp.chunk_frames > 0, "spectrogram.chunk_frames must be > 0")
+        check(dt.band is None or dt.band >= 0, f"dtw.band={dt.band} must be >= 0 or null")
+        check(dt.pair_batch > 0, "dtw.pair_batch must be > 0")
+        check(dt.max_seq_len > 0, "dtw.max_seq_len must be > 0")
+        check(
+            dt.metric in ("euclidean", "sqeuclidean", "cosine"),
+            f"dtw.metric={dt.metric!r}",
+        )
+        check(dt.normalize in ("none", "path_len"), f"dtw.normalize={dt.normalize!r}")
+        check(
+            cl.linkage in ("single", "complete", "average", "weighted"),
+            f"cluster.linkage={cl.linkage!r}",
+        )
+        check(
+            cl.distance_threshold is None or cl.distance_threshold >= 0,
+            "cluster.distance_threshold must be >= 0 or null",
+        )
+        check(
+            cl.n_clusters is None or cl.n_clusters >= 1,
+            "cluster.n_clusters must be >= 1 or null",
+        )
+        check(self.autoencoder.latent_dim > 0, "autoencoder.latent_dim must be > 0")
+        check(self.autoencoder.epochs >= 0, "autoencoder.epochs must be >= 0")
+        return self
+
     # ---------------------------------------------------------- serialization
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)

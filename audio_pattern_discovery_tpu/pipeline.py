@@ -93,6 +93,7 @@ class DiscoveryResult:
             "n_segments": len(self.segments),
             "n_clusters": len(self.clusters),
             "clusters": clusters,
+            "ae_losses": [round(x, 6) for x in self.ae_losses],
             "counters": self.counters.to_dict(),
         }
 
@@ -122,9 +123,28 @@ def discover(
     logger=None,
 ) -> DiscoveryResult:
     """Run the full discovery pipeline over a directory of WAV files."""
-    cfg = config or PipelineConfig()
+    cfg = (config or PipelineConfig()).validate()
     log = logger or get_logger()
     counters = StageCounters()
+
+    # Multi-chip (SS3 rows 9-10): pair blocks round-robin across all data-
+    # axis devices; AE minibatches shard over the same axis (grad all-reduce
+    # rides ICI).  Single-device runs are unaffected.
+    import jax
+
+    all_devices = jax.devices()
+    n_data = (
+        len(all_devices)
+        if cfg.parallel.data_axis < 0
+        else min(cfg.parallel.data_axis * max(cfg.parallel.model_axis, 1), len(all_devices))
+    )
+    dtw_devices = list(all_devices[:n_data]) if n_data > 1 else None
+    ae_sharding = None
+    if n_data > 1:
+        from audio_pattern_discovery_tpu.parallel.mesh import data_sharding, make_mesh
+
+        ae_sharding = data_sharding(make_mesh(cfg.parallel, devices=all_devices))
+        log.info(f"data-parallel over {n_data} devices")
 
     # ---- L0: ingest ------------------------------------------------------
     with counters.time_stage("ingest"):
@@ -191,6 +211,7 @@ def discover(
                     scaler.transform(flat).astype(np.float32),
                     cfg.autoencoder,
                     logger=log,
+                    data_sharding=ae_sharding,
                 )
                 if ckpt_dir is not None:
                     save_ae_checkpoint(ckpt_dir, state, scaler)
@@ -208,7 +229,8 @@ def discover(
         if cfg.parallel.checkpoint_blocks and out_dir is not None:
             block_dir = Path(out_dir) / cfg.parallel.block_dir
         D = all_pairs_distances(
-            features, seg_lengths, cfg.dtw, block_dir=block_dir
+            features, seg_lengths, cfg.dtw, block_dir=block_dir,
+            devices=dtw_devices,
         )
     n_pairs = len(segments) * (len(segments) - 1) // 2
     counters.add("dtw_pairs", n_pairs)

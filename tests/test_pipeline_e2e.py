@@ -126,3 +126,23 @@ def test_cluster_images_written(tmp_path):
     pngs = sorted((out / "images").glob("*.png"))
     assert len(pngs) == len(result.clusters)
     assert all(p.stat().st_size > 500 for p in pngs)
+
+
+def test_config_validation_rejects_bad_knobs():
+    import pytest
+
+    from audio_pattern_discovery_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg.dtw.metric = "manhattan"
+    with pytest.raises(ValueError, match="dtw.metric"):
+        cfg.validate()
+    cfg = PipelineConfig()
+    cfg.spectrogram.hop_length = 4096
+    with pytest.raises(ValueError, match="hop_length"):
+        cfg.validate()
+    cfg = PipelineConfig()
+    cfg.cluster.linkage = "ward"
+    with pytest.raises(ValueError, match="linkage"):
+        cfg.validate()
+    assert PipelineConfig().validate() is not None
