@@ -43,9 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 # (a jnp scalar would be a captured device constant, which pallas rejects).
 INF = float("inf")
 
-# VMEM ceiling for the Gram scratch: PB=128 at S=128, PB=8 at S=512.
+# VMEM ceiling for the Gram scratch: PB=256 at S=128, PB=16 at S=512.
 MAX_KERNEL_SEQ_LEN = 512
-_CMAT_VMEM_BUDGET = 8 * 1024 * 1024
+_CMAT_VMEM_BUDGET = 16 * 1024 * 1024
 
 
 def default_pair_block(seq_len: int) -> int:
@@ -55,9 +55,11 @@ def default_pair_block(seq_len: int) -> int:
     is PB*S lanes, so PB directly multiplies VPU utilization.  Cap so
     PB*S*S*4 bytes of cost matrix fits the VMEM budget (the pallas_call
     lifts Mosaic's scoped-VMEM limit to match; a v5e core has 128 MiB).
+    Swept on-chip at S=128/B=32k: PB 128 -> 897k pairs/s, 256 -> 977k,
+    512 -> 883k; 256 is the knee.
     """
     pb = _CMAT_VMEM_BUDGET // (seq_len * seq_len * 4)
-    return int(max(8, min(128, 1 << (pb.bit_length() - 1))))
+    return int(max(8, min(256, 1 << (pb.bit_length() - 1))))
 
 
 def _dtw_rowscan_kernel(
