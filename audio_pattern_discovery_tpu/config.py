@@ -117,6 +117,11 @@ class ClusterConfig:
     # Exactly one of the two cut criteria applies; threshold wins if both set.
     distance_threshold: float | None = None
     n_clusters: int | None = None
+    # Default data-driven cut when neither is set: the dendrogram is cut at
+    # this quantile of merge heights.  Swept against planted-motif ground
+    # truth: 0.5 over-fragments (pairwise F1 0.21), 0.9 keeps purity 1.0 at
+    # F1 0.90 on the 100-clip benchmark corpus.
+    auto_cut_quantile: float = 0.9
     min_cluster_size: int = 2       # singleton clusters are noise, dropped
     use_native: bool = True         # C++ NN-chain when available
 
@@ -129,6 +134,7 @@ class OutputConfig:
     write_alignments: bool = True   # exemplar<->member warping paths
     write_images: bool = True       # per-cluster spectrogram PNGs
     max_images_per_cluster: int = 8
+    write_html_report: bool = True  # self-contained index.html
     manifest_name: str = "clusters.json"
 
 

@@ -243,11 +243,21 @@ def discover(
         ccfg = cfg.cluster
         thr = ccfg.distance_threshold
         if thr is None and ccfg.n_clusters is None:
-            # Default cut: median of merge heights (data-driven, deterministic).
+            # Default cut: quantile of merge heights (data-driven,
+            # deterministic; see ClusterConfig.auto_cut_quantile), capped so
+            # the final 3 merges never auto-apply — on tiny corpora the
+            # quantile is too coarse and would fuse distinct motifs (purity
+            # beats fragmentation; explicit threshold/n_clusters override).
             from audio_pattern_discovery_tpu.cluster.agglomerative import linkage
 
             Z = linkage(D, ccfg.linkage, use_native=ccfg.use_native)
-            thr = float(np.median(Z[:, 2])) if len(Z) else 0.0
+            if len(Z) > 4:
+                q = min(ccfg.auto_cut_quantile, 1.0 - 3.0 / len(Z))
+                thr = float(np.quantile(Z[:, 2], q))
+            elif len(Z):
+                thr = float(np.median(Z[:, 2]))
+            else:
+                thr = 0.0
         labels, _ = cluster_distance_matrix(
             D,
             ccfg.linkage,
@@ -306,10 +316,16 @@ def _extract_clusters(
         rep = ClusterReport(cluster_id=new_id, exemplar=exemplar, members=members)
         if cfg.output.write_alignments and len(members) > 1:
             others = [m for m in members if m != exemplar]
-            a = features[np.full(len(others), exemplar)]
-            b = features[others]
-            la = seg_lengths[np.full(len(others), exemplar)]
-            lb = seg_lengths[others]
+            # Pad the batch to a power of two: cluster sizes vary per corpus
+            # and every distinct shape would otherwise compile a fresh XLA
+            # program (pad pairs are self-alignments of the exemplar).
+            n = len(others)
+            n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+            idx = np.asarray(others + [exemplar] * (n_pad - n))
+            a = features[np.full(n_pad, exemplar)]
+            b = features[idx]
+            la = seg_lengths[np.full(n_pad, exemplar)]
+            lb = seg_lengths[idx]
             _, dirs = dtw_batch_with_dirs(
                 jnp.asarray(a),
                 jnp.asarray(b),
@@ -319,7 +335,7 @@ def _extract_clusters(
                 band=cfg.dtw.band,
                 auto_widen=cfg.dtw.auto_widen_band,
             )
-            paths = paths_from_dirs(np.asarray(dirs), la, lb)
+            paths = paths_from_dirs(np.asarray(dirs)[:n], la[:n], lb[:n])
             rep.alignments = {m: p for m, p in zip(others, paths)}
         reports.append(rep)
     return reports
@@ -344,6 +360,10 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
             result.seg_lengths,
             max_per_cluster=cfg.output.max_images_per_cluster,
         )
+    if cfg.output.write_html_report:
+        from audio_pattern_discovery_tpu.io.report import write_html_report
+
+        write_html_report(out, result.manifest())
     if cfg.output.write_snippets:
         hop = cfg.spectrogram.hop_length
         win = cfg.spectrogram.win_length

@@ -101,4 +101,22 @@ def make_corpus(
         if peak > 1.0:
             x = x / peak
         write_wav(out / f"clip_{ci:04d}.wav", x.astype(np.float32), sample_rate)
+    # Machine-readable ground truth beside the WAVs (tools/eval_clusters.py
+    # scores a discovery manifest against it).
+    import json
+
+    (out / "truth.json").write_text(
+        json.dumps(
+            [
+                {
+                    "file": f"clip_{t.clip:04d}.wav",
+                    "motif": t.motif,
+                    "start_sample": t.start,
+                    "end_sample": t.start + t.length,
+                }
+                for t in truth
+            ],
+            indent=1,
+        )
+    )
     return truth

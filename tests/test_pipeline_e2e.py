@@ -146,3 +146,32 @@ def test_config_validation_rejects_bad_knobs():
     with pytest.raises(ValueError, match="linkage"):
         cfg.validate()
     assert PipelineConfig().validate() is not None
+
+
+def test_html_report_and_eval(tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "tools"))
+    from eval_clusters import evaluate
+
+    from audio_pattern_discovery_tpu.config import PipelineConfig
+    from audio_pattern_discovery_tpu.pipeline import discover
+    from audio_pattern_discovery_tpu.synthetic import make_corpus
+
+    make_corpus(tmp_path / "corpus", n_clips=8, n_motifs=2, seed=9)
+    cfg = PipelineConfig()
+    cfg.autoencoder.enabled = False
+    cfg.dtw.band = 16
+    cfg.dtw.use_pallas = False
+    out = tmp_path / "out"
+    discover(tmp_path / "corpus", cfg, out_dir=out)
+    html_doc = (out / "index.html").read_text()
+    assert "Discovered patterns" in html_doc
+    assert "data:image/png;base64," in html_doc
+
+    manifest = json.load(open(out / "clusters.json"))
+    truth = json.load(open(tmp_path / "corpus" / "truth.json"))
+    scores = evaluate(manifest, truth)
+    assert scores["purity"] >= 0.9, scores
+    assert scores["coverage"] >= 0.7, scores
