@@ -79,15 +79,25 @@ def main() -> int:
         sync_s = (time.perf_counter() - t0) / TPU_ITERS
         log(f"sync: {BATCH / sync_s:,.0f} pairs/s ({sync_s * 1e3:.1f} ms/batch)")
         # Steady-state throughput: keep PIPELINE_DEPTH dispatches in flight,
-        # materialize at the end — what the pair-block scheduler sees.
+        # materialize at the end — what the pair-block scheduler sees.  The
+        # tunneled backend's latency is noisy (shared link), so take the best
+        # of three measurement windows.
         outs = [run() for _ in range(PIPELINE_DEPTH)]
         for o in outs:
             np.asarray(o)  # drain warmup wave
-        t0 = time.perf_counter()
-        outs = [run() for _ in range(TPU_ITERS)]
-        for o in outs:
-            np.asarray(o)
-        device_s = (time.perf_counter() - t0) / TPU_ITERS
+        windows = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(TPU_ITERS)]
+            for o in outs:
+                np.asarray(o)
+            windows.append((time.perf_counter() - t0) / TPU_ITERS)
+        log(
+            "pipelined windows: "
+            + ", ".join(f"{BATCH / w:,.0f}" for w in windows)
+            + " pairs/s (reporting best)"
+        )
+        device_s = min(windows)
     else:
         # No TPU (debug run): fall back to the scan wavefront, still on-device.
         from audio_pattern_discovery_tpu.ops.dtw import dtw_batch

@@ -175,3 +175,28 @@ def test_html_report_and_eval(tmp_path):
     scores = evaluate(manifest, truth)
     assert scores["purity"] >= 0.9, scores
     assert scores["coverage"] >= 0.7, scores
+
+
+def test_golden_harness_roundtrip(tmp_path, monkeypatch):
+    import subprocess
+    import sys
+
+    from audio_pattern_discovery_tpu.synthetic import make_corpus
+
+    make_corpus(tmp_path / "corpus", n_clips=6, n_motifs=2, seed=13)
+    base = [
+        sys.executable, "tools/golden.py",
+    ]
+    common = [
+        str(tmp_path / "corpus"), str(tmp_path / "golden.npz"),
+        "-s", "autoencoder.enabled=false", "-s", "dtw.band=16",
+        "-s", "dtw.use_pallas=false",
+    ]
+    env = {**__import__("os").environ, "APD_FORCE_CPU": "1"}
+    r = subprocess.run(base + ["save"] + common, capture_output=True, text=True,
+                       cwd="/root/repo", env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(base + ["check"] + common, capture_output=True, text=True,
+                       cwd="/root/repo", env=env, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr[-2000:]
+    assert "partition identical" in r.stdout
