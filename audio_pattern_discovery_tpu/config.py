@@ -35,6 +35,10 @@ class SpectrogramConfig:
     normalize_signal: bool = True   # peak-normalize each clip to [-1, 1]
     # Optional dimensionality cap on frequency bins (keep lowest `max_bins`).
     max_bins: int | None = None
+    # "matmul" computes the real DFT as two MXU matmuls (TPUs have no FFT
+    # unit; XLA's rfft lowers to a slow generic custom call); "rfft" keeps
+    # the library FFT.  Equal within float tolerance (tested).
+    fft_impl: str = "matmul"
     # Streaming tile shape for corpus extraction: [clip_batch, chunk_frames]
     # device tiles give ONE compiled program for any corpus and bound device
     # memory for hours-long recordings (BASELINE config 5; SS8 P1).
@@ -182,6 +186,7 @@ class PipelineConfig:
             f"spectrogram.n_fft={sp.n_fft} < win_length={sp.win_length}",
         )
         check(sp.window in ("hann", "hamming", "rect"), f"spectrogram.window={sp.window!r}")
+        check(sp.fft_impl in ("matmul", "rfft"), f"spectrogram.fft_impl={sp.fft_impl!r}")
         check(sp.clip_batch > 0, "spectrogram.clip_batch must be > 0")
         check(sp.chunk_frames > 0, "spectrogram.chunk_frames must be > 0")
         check(dt.band is None or dt.band >= 0, f"dtw.band={dt.band} must be >= 0 or null")

@@ -50,6 +50,7 @@ def num_frames(n_samples: int, win_length: int, hop_length: int) -> int:
         "log_scale",
         "log_floor",
         "max_bins",
+        "fft_impl",
     ),
 )
 def batched_spectrogram(
@@ -64,6 +65,7 @@ def batched_spectrogram(
     log_scale: bool = True,
     log_floor: float = 1e-10,
     max_bins: int | None = None,
+    fft_impl: str = "matmul",
 ) -> tuple[jax.Array, jax.Array]:
     """[B, N] padded signals -> ([B, F, bins] spectrograms, [B] frame counts).
 
@@ -86,8 +88,34 @@ def batched_spectrogram(
     w = jnp.asarray(window_array(window, win_length))
     frames = frames * w                                        # fused elementwise
 
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)              # [B, F, n_fft//2+1]
-    mag = jnp.abs(spec)
+    if fft_impl == "matmul":
+        # Real DFT as two MXU matmuls (TPUs have no FFT unit; XLA lowers
+        # rfft to a slow generic custom call, while a [win, bins] DFT-matrix
+        # contraction rides the systolic array).  f32 x f32 with HIGHEST
+        # precision keeps it exact to the rfft path within float tolerance.
+        bins = n_fft // 2 + 1
+        # rfft semantics: zero-pad (n_fft > win) contributes nothing beyond
+        # the first win rows; truncate (n_fft < win) drops the tail.
+        rows = min(win_length, n_fft)
+        k = (
+            2.0
+            * np.pi
+            / n_fft
+            * np.outer(np.arange(rows, dtype=np.float64), np.arange(bins))
+        )
+        cos_m = jnp.asarray(np.cos(k).astype(np.float32))      # [rows, bins]
+        sin_m = jnp.asarray(np.sin(k).astype(np.float32))
+        fr = frames[..., :rows]
+        re = jnp.einsum(
+            "bfw,wk->bfk", fr, cos_m, precision=jax.lax.Precision.HIGHEST
+        )
+        im = jnp.einsum(
+            "bfw,wk->bfk", fr, sin_m, precision=jax.lax.Precision.HIGHEST
+        )
+        mag = jnp.sqrt(jnp.maximum(re * re + im * im, 0.0))
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)          # [B, F, n_fft//2+1]
+        mag = jnp.abs(spec)
     out = mag if power == 1.0 else mag**power
     if max_bins is not None:
         out = out[..., :max_bins]
@@ -121,6 +149,7 @@ def spectrogram_from_config(
         log_scale=cfg.log_scale,
         log_floor=cfg.log_floor,
         max_bins=cfg.max_bins,
+        fft_impl=cfg.fft_impl,
     )
 
 
@@ -135,6 +164,7 @@ def spectrogram_from_config(
         "log_scale",
         "log_floor",
         "max_bins",
+        "fft_impl",
     ),
 )
 def _spectrogram_energy_tile(signals, lengths, **kw):
@@ -216,6 +246,7 @@ def spectrogram_corpus(
                 log_scale=cfg.log_scale,
                 log_floor=cfg.log_floor,
                 max_bins=cfg.max_bins,
+                fft_impl=cfg.fft_impl,
             )
             out_np = np.asarray(out)
             en_np = np.asarray(en)
