@@ -184,7 +184,8 @@ def spectrogram_corpus(
     *,
     clip_batch: int = 16,
     chunk_frames: int = 1024,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return_device: bool = False,
+) -> tuple[np.ndarray | jax.Array, np.ndarray, np.ndarray]:
     """Streaming corpus STFT with *fixed* device shapes (SURVEY.md SS8 P1).
 
     Ragged clips -> ([B, F_max, bins] log-spectrograms, [B] frame counts,
@@ -214,17 +215,21 @@ def spectrogram_corpus(
     CF = int(chunk_frames)
     chunk_samples = CF * hop + (win - hop)
     bins = cfg.n_bins
-    specs = np.full((B, F_max, bins), np.float32(0.0), dtype=np.float32)
-    if cfg.log_scale:
-        specs[:] = np.log10(np.float32(cfg.log_floor))
+    specs = None
+    if not return_device:
+        specs = np.full((B, F_max, bins), np.float32(0.0), dtype=np.float32)
+        if cfg.log_scale:
+            specs[:] = np.log10(np.float32(cfg.log_floor))
     frame_counts = frames_per_clip.copy()
     energies = np.full((B, F_max), np.log10(np.float32(1e-10)), dtype=np.float32)
 
     tile_sig = np.zeros((clip_batch, chunk_samples), dtype=np.float32)
+    device_groups: list[jax.Array] = []
     for g0 in range(0, B, clip_batch):
         group = sigs[g0 : g0 + clip_batch]
         g_frames = frames_per_clip[g0 : g0 + clip_batch]
         n_chunks = max(1, -(-int(g_frames.max()) // CF))
+        group_tiles: list[jax.Array] = []
         for c in range(n_chunks):
             s0 = c * CF * hop
             tile_sig[:] = 0.0
@@ -248,15 +253,43 @@ def spectrogram_corpus(
                 max_bins=cfg.max_bins,
                 fft_impl=cfg.fft_impl,
             )
-            out_np = np.asarray(out)
             en_np = np.asarray(en)
             fc_np = np.asarray(fc)
             f0 = c * CF
+            if return_device:
+                # Invalid frames already hold the log floor (masked in the
+                # kernel), so raw tiles concatenate into the final layout
+                # with no host round-trip of the spectrogram data.
+                group_tiles.append(out)
+            else:
+                out_np = np.asarray(out)
             for k in range(len(group)):
                 n = min(int(fc_np[k]), CF, F_max - f0)
                 if n > 0:
-                    specs[g0 + k, f0 : f0 + n] = out_np[k, :n]
+                    if not return_device:
+                        specs[g0 + k, f0 : f0 + n] = out_np[k, :n]
                     energies[g0 + k, f0 : f0 + n] = en_np[k, :n]
+        if return_device:
+            g = (
+                jnp.concatenate(group_tiles, axis=1)
+                if len(group_tiles) > 1
+                else group_tiles[0]
+            )
+            if g.shape[1] < F_max:
+                fill = np.log10(np.float32(cfg.log_floor)) if cfg.log_scale else 0.0
+                g = jnp.pad(
+                    g,
+                    ((0, 0), (0, F_max - g.shape[1]), (0, 0)),
+                    constant_values=np.float32(fill),
+                )
+            device_groups.append(g[:, :F_max])
+    if return_device:
+        specs_dev = (
+            jnp.concatenate(device_groups, axis=0)
+            if len(device_groups) > 1
+            else device_groups[0]
+        )[:B]
+        return specs_dev, frame_counts, energies
     return specs, frame_counts, energies
 
 

@@ -111,6 +111,30 @@ def extract_segment_features(
     return pad_and_stack(seqs, pad_to=max_len)
 
 
+def extract_segment_features_device(
+    specs_dev,                     # [B, F, bins] device-resident
+    segments: list[Segment],
+    max_len: int,
+):
+    """Device-side equivalent of extract_segment_features: one batched
+    gather + mask, so the full spectrogram corpus never crosses to host
+    (only segments do, and only when the caller asks)."""
+    F = specs_dev.shape[1]
+    clip_idx = np.array([s.clip for s in segments], np.int32)
+    starts = np.array([s.start_frame for s in segments], np.int32)
+    lengths = np.minimum(
+        np.array([s.end_frame - s.start_frame for s in segments], np.int32),
+        max_len,
+    )
+    frame_idx = np.minimum(
+        starts[:, None] + np.arange(max_len, dtype=np.int32)[None, :], F - 1
+    )                                                            # [K, L]
+    seg = specs_dev[jnp.asarray(clip_idx)[:, None], jnp.asarray(frame_idx)]
+    mask = np.arange(max_len, dtype=np.int32)[None, :] < lengths[:, None]
+    seg = jnp.where(jnp.asarray(mask)[:, :, None], seg, 0.0)
+    return seg, lengths
+
+
 def _medoid(D: np.ndarray, members: list[int]) -> int:
     sub = D[np.ix_(members, members)]
     return members[int(np.argmin(sub.sum(axis=1)))]
@@ -156,12 +180,16 @@ def discover(
     log.info(f"loaded {len(clips)} clips")
 
     # ---- L1: spectrograms (device, fixed-shape streaming tiles) ---------
+    # The full spectrogram corpus stays device-resident; only the (tiny)
+    # energy matrix crosses to host for segmentation, and later only the
+    # segment cuts (SS4.1 host<->device boundary note).
     with counters.time_stage("spectrogram"):
-        specs, frame_counts, energies = spectrogram_corpus(
+        specs_dev, frame_counts, energies = spectrogram_corpus(
             sigs,
             cfg.spectrogram,
             clip_batch=cfg.spectrogram.clip_batch,
             chunk_frames=cfg.spectrogram.chunk_frames,
+            return_device=True,
         )
     counters.add("frames", float(frame_counts.sum()))
 
@@ -175,9 +203,12 @@ def discover(
             f"only {len(segments)} segments found; loosen segmentation config"
         )
 
-    seg_frames, seg_lengths = extract_segment_features(
-        specs, segments, cfg.dtw.max_seq_len
+    seg_frames_dev, seg_lengths = extract_segment_features_device(
+        specs_dev, segments, cfg.dtw.max_seq_len
     )
+    # One download of the segment cuts (AE scaler/train + cluster images);
+    # the device copy feeds the encode path without a re-upload.
+    seg_frames = np.asarray(seg_frames_dev)
 
     # ---- L3: autoencoder embed (device) ---------------------------------
     ae_losses: list[float] = []
@@ -216,8 +247,13 @@ def discover(
                 if ckpt_dir is not None:
                     save_ae_checkpoint(ckpt_dir, state, scaler)
         with counters.time_stage("autoencoder_encode"):
+            # Standardize on device from the resident segment tensor — no
+            # re-upload of [K, L, bins].
             features = encode_frames(
-                model, state.params, jnp.asarray(scaler.transform(seg_frames))
+                model,
+                state.params,
+                (seg_frames_dev - jnp.asarray(scaler.mean))
+                / jnp.asarray(scaler.std),
             )
     else:
         features = seg_frames
