@@ -44,6 +44,10 @@ class SpectrogramConfig:
     # memory for hours-long recordings (BASELINE config 5; SS8 P1).
     clip_batch: int = 16
     chunk_frames: int = 1024
+    # HBM budget for keeping the assembled [B, F_max, bins] corpus device-
+    # resident (skips the full download + segment re-upload); corpora above
+    # this assemble on host instead (bounded by host RAM, not HBM).
+    max_resident_bytes: int = 4 << 30
 
     @property
     def fft_size(self) -> int:

@@ -261,12 +261,13 @@ def spectrogram_corpus(
                 # kernel), so raw tiles concatenate into the final layout
                 # with no host round-trip of the spectrogram data.
                 group_tiles.append(out)
+                out_np = None
             else:
                 out_np = np.asarray(out)
             for k in range(len(group)):
                 n = min(int(fc_np[k]), CF, F_max - f0)
                 if n > 0:
-                    if not return_device:
+                    if out_np is not None:
                         specs[g0 + k, f0 : f0 + n] = out_np[k, :n]
                     energies[g0 + k, f0 : f0 + n] = en_np[k, :n]
         if return_device:

@@ -180,16 +180,27 @@ def discover(
     log.info(f"loaded {len(clips)} clips")
 
     # ---- L1: spectrograms (device, fixed-shape streaming tiles) ---------
-    # The full spectrogram corpus stays device-resident; only the (tiny)
-    # energy matrix crosses to host for segmentation, and later only the
-    # segment cuts (SS4.1 host<->device boundary note).
+    # The full spectrogram corpus stays device-resident when it fits HBM;
+    # only the (tiny) energy matrix crosses to host for segmentation, and
+    # later only the segment cuts (SS4.1 host<->device boundary note).
+    # Corpora too large for a resident [B, F_max, bins] tensor (hours-long
+    # recordings, BASELINE config 5) fall back to host assembly, which is
+    # bounded by host RAM, not HBM.
+    from audio_pattern_discovery_tpu.ops.spectrogram import num_frames
+
+    f_max_est = max(
+        num_frames(len(s), cfg.spectrogram.win_length, cfg.spectrogram.hop_length)
+        for s in sigs
+    )
+    resident_bytes = 4 * len(sigs) * f_max_est * cfg.spectrogram.n_bins
+    on_device = resident_bytes <= cfg.spectrogram.max_resident_bytes
     with counters.time_stage("spectrogram"):
-        specs_dev, frame_counts, energies = spectrogram_corpus(
+        specs_any, frame_counts, energies = spectrogram_corpus(
             sigs,
             cfg.spectrogram,
             clip_batch=cfg.spectrogram.clip_batch,
             chunk_frames=cfg.spectrogram.chunk_frames,
-            return_device=True,
+            return_device=on_device,
         )
     counters.add("frames", float(frame_counts.sum()))
 
@@ -203,12 +214,21 @@ def discover(
             f"only {len(segments)} segments found; loosen segmentation config"
         )
 
-    seg_frames_dev, seg_lengths = extract_segment_features_device(
-        specs_dev, segments, cfg.dtw.max_seq_len
-    )
-    # One download of the segment cuts (AE scaler/train + cluster images);
-    # the device copy feeds the encode path without a re-upload.
-    seg_frames = np.asarray(seg_frames_dev)
+    if on_device:
+        seg_frames_dev, seg_lengths = extract_segment_features_device(
+            specs_any, segments, cfg.dtw.max_seq_len
+        )
+        # One download of the segment cuts (AE scaler/train + cluster
+        # images); the device copy feeds encode without a re-upload.
+        seg_frames = np.asarray(seg_frames_dev)
+    else:
+        seg_frames, seg_lengths = extract_segment_features(
+            specs_any, segments, cfg.dtw.max_seq_len
+        )
+        seg_frames_dev = jnp.asarray(seg_frames)
+    # The resident corpus is not needed past the segment gather; free the
+    # HBM before the AE/DTW stages (the real HBM consumers).
+    del specs_any
 
     # ---- L3: autoencoder embed (device) ---------------------------------
     ae_losses: list[float] = []
@@ -248,13 +268,9 @@ def discover(
                     save_ae_checkpoint(ckpt_dir, state, scaler)
         with counters.time_stage("autoencoder_encode"):
             # Standardize on device from the resident segment tensor — no
-            # re-upload of [K, L, bins].
-            features = encode_frames(
-                model,
-                state.params,
-                (seg_frames_dev - jnp.asarray(scaler.mean))
-                / jnp.asarray(scaler.std),
-            )
+            # re-upload of [K, L, bins] (transform works on jax arrays).
+            features = encode_frames(model, state.params, scaler.transform(seg_frames_dev))
+        del seg_frames_dev
     else:
         features = seg_frames
     counters.add("feature_dim", features.shape[-1])

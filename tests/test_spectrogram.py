@@ -155,3 +155,48 @@ def test_matmul_dft_zero_pad_and_truncate(rng):
         a, _ = batched_spectrogram(jnp.asarray(sig), jnp.asarray(lens), fft_impl="rfft", **kw)
         b, _ = batched_spectrogram(jnp.asarray(sig), jnp.asarray(lens), fft_impl="matmul", **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_device_assembly_matches_host(rng):
+    """return_device=True corpus == host-assembled corpus (the oracle)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
+
+    cfg = SpectrogramConfig(win_length=64, hop_length=16)
+    sigs = [
+        rng.normal(0, 0.3, int(n)).astype(np.float32)
+        for n in rng.integers(100, 1500, 9)
+    ]
+    host, fc_h, en_h = spectrogram_corpus(sigs, cfg, clip_batch=4, chunk_frames=8)
+    dev, fc_d, en_d = spectrogram_corpus(
+        sigs, cfg, clip_batch=4, chunk_frames=8, return_device=True
+    )
+    np.testing.assert_array_equal(fc_h, fc_d)
+    np.testing.assert_allclose(en_h, en_d, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(host, np.asarray(dev), rtol=1e-5, atol=1e-5)
+
+
+def test_device_segment_extraction_matches_host(rng):
+    """extract_segment_features_device == the host slicer (the oracle)."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.segmentation import Segment
+    from audio_pattern_discovery_tpu.pipeline import (
+        extract_segment_features,
+        extract_segment_features_device,
+    )
+
+    B, F, bins, L = 4, 50, 16, 12
+    specs = rng.normal(0, 1, (B, F, bins)).astype(np.float32)
+    segments = [
+        Segment(clip=0, start_frame=3, end_frame=9),
+        Segment(clip=1, start_frame=0, end_frame=30),   # longer than L: clamp
+        Segment(clip=2, start_frame=45, end_frame=50),  # touches the end
+        Segment(clip=3, start_frame=10, end_frame=12),
+    ]
+    want, want_len = extract_segment_features(specs, segments, L)
+    got, got_len = extract_segment_features_device(jnp.asarray(specs), segments, L)
+    np.testing.assert_array_equal(want_len, got_len)
+    np.testing.assert_allclose(want, np.asarray(got), rtol=1e-6, atol=1e-6)
