@@ -36,8 +36,11 @@ def _block_cost(
     a_blk: jax.Array,        # [BLK, d]
     b_blk: jax.Array,        # [BLK, d]
     metric: str,
+    matmul_dtype=None,
 ) -> jax.Array:
     """[BLK, BLK] frame-cost tile on the MXU."""
+    if metric not in ("euclidean", "sqeuclidean", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
     if metric == "cosine":
         a_blk = a_blk / jnp.maximum(
             jnp.linalg.norm(a_blk, axis=-1, keepdims=True), 1e-12
@@ -45,12 +48,19 @@ def _block_cost(
         b_blk = b_blk / jnp.maximum(
             jnp.linalg.norm(b_blk, axis=-1, keepdims=True), 1e-12
         )
+    am, bm = a_blk, b_blk
+    precision = jax.lax.Precision.HIGHEST
+    if matmul_dtype is not None:
+        # bf16 storage, f32 MXU accumulation — the TPU precision recipe
+        # (matches ops.dtw.pairwise_cost).
+        am, bm = a_blk.astype(matmul_dtype), b_blk.astype(matmul_dtype)
+        precision = jax.lax.Precision.DEFAULT
     gram = jax.lax.dot_general(
-        a_blk,
-        b_blk,
+        am,
+        bm,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     if metric == "cosine":
         return 1.0 - gram
@@ -93,10 +103,11 @@ def dtw_block_kernel(
     metric: str,
     band: int | None,
     band_width: jax.Array | None,   # [] traced band (>= |la-lb| if widened)
+    matmul_dtype=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One DP block -> (bottom row [BLK], right col [BLK], hit value [], hit mask [])."""
     BLK = a_blk.shape[0]
-    c_tile = _block_cost(a_blk, b_blk, metric)                  # [BLK, BLK]
+    c_tile = _block_cost(a_blk, b_blk, metric, matmul_dtype)    # [BLK, BLK]
 
     gj = col0 + jnp.arange(BLK, dtype=jnp.int32)                # [BLK]
     gi = row0 + jnp.arange(BLK, dtype=jnp.int32)                # [BLK]
@@ -136,7 +147,14 @@ def dtw_block_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "band", "auto_widen", "normalize", "block"),
+    static_argnames=(
+        "metric",
+        "band",
+        "auto_widen",
+        "normalize",
+        "block",
+        "matmul_dtype",
+    ),
 )
 def dtw_long_batch(
     a: jax.Array,            # [B, S, d] padded (S multiple of block)
@@ -149,6 +167,7 @@ def dtw_long_batch(
     auto_widen: bool = True,
     normalize: str = "none",
     block: int = 256,
+    matmul_dtype: str | None = None,
 ) -> jax.Array:
     """Batched DTW over long padded sequences; boundary-only memory.
 
@@ -173,6 +192,8 @@ def dtw_long_batch(
     W = nB                              # max active blocks on a diagonal
 
     # vmap the block kernel over (batch, slot).
+    mm_dtype = jnp.bfloat16 if matmul_dtype == "bfloat16" else None
+
     def one_block(a_seq, b_seq, top, left, corner, I, J, la_, lb_, bw_):
         a_blk = jax.lax.dynamic_slice_in_dim(a_seq, I * BLK, BLK, axis=0)
         b_blk = jax.lax.dynamic_slice_in_dim(b_seq, J * BLK, BLK, axis=0)
@@ -189,6 +210,7 @@ def dtw_long_batch(
             metric=metric,
             band=band,
             band_width=bw_,
+            matmul_dtype=mm_dtype,
         )
 
     slot_block = jax.vmap(
@@ -205,22 +227,20 @@ def dtw_long_batch(
         # previous step (the (I-1, J-1) bottom-right corners).
         new_snap = H[..., -1]                                   # [B, nB]
 
-        Js = jnp.arange(W, dtype=jnp.int32)                     # slot -> J
+        Js = jnp.arange(W, dtype=jnp.int32)                     # slot -> J (slot == block-col)
         Is = k - Js
         active = (Is >= 0) & (Is < nB) & (Js < nB)
         Is_c = jnp.clip(Is, 0, nB - 1)
 
-        top = jnp.take_along_axis(
-            H, Js[None, :, None].repeat(B, 0), axis=1
-        )                                                       # [B, W, BLK]
+        top = H                                                 # [B, W, BLK]: slot w IS col w
         left = jnp.take_along_axis(
             V, Is_c[None, :, None].repeat(B, 0), axis=1
         )
         corner = jnp.where(
             (Js == 0)[None, :],
             jnp.where((Is_c == 0)[None, :], 0.0, INF),
-            jnp.take_along_axis(
-                corner_snap, jnp.maximum(Js - 1, 0)[None, :].repeat(B, 0), axis=1
+            jnp.concatenate(
+                [jnp.full((B, 1), INF), corner_snap[:, :-1]], axis=1
             ),
         )                                                       # [B, W]
         # Blocks in block-row 0 have no row above: top = +inf.
@@ -232,10 +252,10 @@ def dtw_long_batch(
             a, b, top, left, corner, Is_c, Js, la, lb, bw
         )                                                       # [B, W, BLK] x2, [B, W] x2
 
-        # Scatter updated boundaries; inactive slots dropped via OOB index.
-        Js_upd = jnp.where(active, Js, nB)
+        # Update boundaries; V scatters by block-row with inactive slots
+        # dropped via an out-of-bounds index.
+        H = jnp.where(active[None, :, None], bottom, H)          # slot == col
         Is_upd = jnp.where(active, Is_c, nB)
-        H = H.at[:, Js_upd, :].set(bottom, mode="drop")
         V = V.at[:, Is_upd, :].set(right, mode="drop")
 
         hit_any = jnp.any(has_hit & active[None, :], axis=1)    # [B]

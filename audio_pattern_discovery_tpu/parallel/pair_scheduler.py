@@ -36,11 +36,14 @@ from audio_pattern_discovery_tpu.ops.dtw_pallas import (
 )
 
 
-def _long_block_size(bucket: int, cap: int = 256) -> int:
-    """Largest power-of-two divisor of `bucket`, capped — the tile size for
-    the blocked long-sequence path (ops/dtw_long.py needs S % block == 0)."""
-    p = bucket & (-bucket)
-    return int(min(p, cap))
+def _long_block_shape(bucket: int, cap: int = 256) -> tuple[int, int]:
+    """(block, padded_len) for the blocked long-sequence path: a healthy
+    tile size with the bucket padded UP to a multiple of it (dtw_long needs
+    S % block == 0; its +inf length masking makes the padding free), never
+    a degenerate 1-element block from an odd bucket length."""
+    blk = min(cap, 1 << max(bucket - 1, 1).bit_length())
+    padded = -(-bucket // blk) * blk
+    return int(blk), int(padded)
 
 
 def _on_tpu() -> bool:
@@ -118,6 +121,11 @@ def _dtw_block(
     if bucket > MAX_KERNEL_SEQ_LEN:
         # Over-long bucket: the blocked wavefront keeps memory at boundary
         # vectors instead of the scan path's [B, S, S] HBM cost tensor.
+        blk, padded = _long_block_shape(bucket)
+        if padded > bucket:
+            pad = padded - bucket
+            a = jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+            b = jnp.pad(b, ((0, 0), (0, pad), (0, 0)))
         return dtw_long_batch(
             a,
             b,
@@ -127,7 +135,8 @@ def _dtw_block(
             band=band,
             auto_widen=auto_widen,
             normalize=normalize,
-            block=_long_block_size(bucket),
+            block=blk,
+            matmul_dtype=matmul_dtype,
         )
     return dtw_batch(
         a,
@@ -142,9 +151,18 @@ def _dtw_block(
     )
 
 
-def _block_key(ii: np.ndarray, jj: np.ndarray) -> str:
-    h = hashlib.sha1(ii.tobytes() + b"|" + jj.tobytes()).hexdigest()[:16]
-    return f"block_{ii[0]}_{jj[0]}_{len(ii)}_{h}"
+def _block_key(ii: np.ndarray, jj: np.ndarray, cfg_tag: bytes = b"") -> str:
+    """Resume key: pair indices + the DTW config fingerprint, so blocks
+    persisted under one metric/band/normalization are never reused after a
+    config change (they would silently poison the distance matrix)."""
+    h = hashlib.sha1(ii.tobytes() + b"|" + jj.tobytes() + b"|" + cfg_tag)
+    return f"block_{ii[0]}_{jj[0]}_{len(ii)}_{h.hexdigest()[:16]}"
+
+
+def _cfg_tag(cfg: DTWConfig) -> bytes:
+    return repr(
+        (cfg.metric, cfg.band, cfg.auto_widen_band, cfg.normalize, cfg.dtype)
+    ).encode()
 
 
 def all_pairs_distances(
@@ -207,6 +225,8 @@ def all_pairs_distances(
         try:
             vals = np.asarray(fut)[: len(ii)]
         except Exception:
+            if max_retries < 1:
+                raise
             vals = None
             for attempt in range(max_retries):
                 try:
@@ -231,7 +251,7 @@ def all_pairs_distances(
     for bi, (bucket, ii, jj) in enumerate(blocks):
         path = None
         if block_dir is not None:
-            path = block_dir / (_block_key(ii, jj) + ".npz")
+            path = block_dir / (_block_key(ii, jj, _cfg_tag(cfg)) + ".npz")
             if path.exists():
                 saved = np.load(path)
                 vals = saved["d"]
@@ -279,7 +299,15 @@ def all_pairs_distances(
         except Exception:
             if max_retries < 1:
                 raise
-            fut = dispatch()
+            fut = None
+            for attempt in range(max_retries):
+                try:
+                    fut = dispatch()
+                    break
+                except Exception:
+                    if attempt == max_retries - 1:
+                        raise
+            assert fut is not None
         pending.append((ii, jj, dispatch, fut, path))
         if len(pending) >= 4 * len(devices):
             collect_one()

@@ -25,13 +25,46 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map_impl
+
+    _REP_KWARG = "check_vma"
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+
+    _REP_KWARG = "check_rep"
+
+
+def _shard_map(f, **kw):
+    # jax >= 0.8 names the replication-check kwarg check_vma; the
+    # experimental module it replaced called it check_rep.
+    return _shard_map_impl(f, **{_REP_KWARG: False}, **kw)
 
 from audio_pattern_discovery_tpu.ops.dtw_long import dtw_block_kernel
 
 INF = jnp.float32(jnp.inf)
+
+# Compiled-callable cache: one jitted shard_map per static configuration
+# (mesh, axis, metric, band shape, block grid, batch).  The shard_fn closure
+# passed in is behaviorally determined by the key, so the first one seen is
+# kept; without this every dtw_wavefront_sharded call would re-trace the
+# full 2*nB-1-step scan.
+_WAVEFRONT_CACHE: dict[tuple, object] = {}
+
+
+def _cached_wavefront_fn(mesh, axis, metric, band, auto_widen, blk, n_blocks, batch, shard_fn):
+    key = (mesh, axis, metric, band, auto_widen, blk, n_blocks, batch)
+    fn = _WAVEFRONT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            _shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(None, axis, None), P(), P(), P()),
+                out_specs=P(),
+            )
+        )
+        _WAVEFRONT_CACHE[key] = fn
+    return fn
 
 
 def dtw_wavefront_sharded(
@@ -168,12 +201,8 @@ def dtw_wavefront_sharded(
         # Exactly one device saw the terminal cell; the rest carry +inf.
         return jax.lax.pmin(out, axis)
 
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P(), P(), P()),
-        out_specs=P(),
-        check_vma=False,
+    fn = _cached_wavefront_fn(
+        mesh, axis, metric, band, auto_widen, BLK, nB, B, shard_fn
     )
     out = fn(a, b, la, lb, bw)
     if normalize == "path_len":

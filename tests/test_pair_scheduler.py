@@ -137,3 +137,35 @@ def test_overlong_bucket_routes_to_blocked_path(rng):
                 band=24, normalize="path_len",
             )
             np.testing.assert_allclose(D[i, j], want, rtol=1e-3, atol=1e-3)
+
+
+def test_overlong_odd_bucket_pads_to_healthy_block(rng):
+    """An odd over-long bucket (601) must not degrade to 1-element blocks."""
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import _long_block_shape
+
+    blk, padded = _long_block_shape(601)
+    assert blk >= 128 and padded % blk == 0 and padded >= 601
+
+    K, L = 4, 601
+    lengths = rng.integers(540, L + 1, K).astype(np.int32)
+    feats = rng.normal(0, 1, (K, L, 3)).astype(np.float32)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=L, band=24, use_pallas=False,
+                    length_bucketing=False)
+    D = all_pairs_distances(feats, lengths, cfg)
+    want = dtw_oracle(feats[0, : lengths[0]], feats[1, : lengths[1]],
+                      band=24, normalize="path_len")
+    np.testing.assert_allclose(D[0, 1], want, rtol=1e-3, atol=1e-3)
+
+
+def test_block_checkpoint_invalidated_by_config_change(rng, tmp_path):
+    """Persisted blocks must not be reused under a different DTW config."""
+    feats, lengths = _features(rng, K=6, L=32)
+    cfg1 = DTWConfig(pair_batch=4, max_seq_len=32, use_pallas=False)
+    D1 = all_pairs_distances(feats, lengths, cfg1, block_dir=tmp_path)
+    cfg2 = DTWConfig(pair_batch=4, max_seq_len=32, use_pallas=False, band=3)
+    D2 = all_pairs_distances(feats, lengths, cfg2, block_dir=tmp_path)
+    # Banded distances differ from unbanded for at least one pair; if stale
+    # blocks were reused D2 would equal D1 exactly.
+    assert not np.allclose(D1, D2), "config change must invalidate blocks"
+    D2_fresh = all_pairs_distances(feats, lengths, cfg2)
+    np.testing.assert_allclose(D2, D2_fresh, rtol=1e-6)
