@@ -114,6 +114,10 @@ def linkage(
 ) -> np.ndarray:
     """NN-chain linkage; prefers the C++ implementation when available
     (bit-compatible: identical merges + postprocessing)."""
+    if method not in _LINKAGES:
+        raise ValueError(f"linkage must be one of {_LINKAGES}, got {method!r}")
+    if dist.ndim != 2 or dist.shape[0] != dist.shape[1]:
+        raise ValueError("distance matrix must be square")
     if use_native and dist.shape[0] >= 2:
         from audio_pattern_discovery_tpu import native
 

@@ -168,7 +168,7 @@ def make_train_epoch(
 def train_autoencoder(
     frames: np.ndarray,            # [N, dim] standardized training frames
     cfg: AutoencoderConfig,
-    log_every: int = 0,
+    log_every: int = 5,
     logger=None,
     data_sharding=None,            # optional jax.sharding.NamedSharding for DP
 ) -> tuple[AutoEncoder, TrainState, list[float]]:
@@ -187,7 +187,13 @@ def train_autoencoder(
     bs = min(cfg.batch_size, n)
     if data_sharding is not None:
         n_shards = data_sharding.mesh.devices.size
-        bs = max(n_shards, bs - bs % n_shards)
+        if n < n_shards:
+            # Too few frames to shard: replicate rather than crash on an
+            # unsatisfiable batch shape.
+            data_sharding = None
+            train_epoch = make_train_epoch(model, tx, cfg.denoising_std, None)
+        else:
+            bs = max(n_shards, bs - bs % n_shards)
     n_batches = max(1, n // bs)
     frames_dev = jax.device_put(jnp.asarray(frames, jnp.float32))
 
@@ -222,6 +228,9 @@ def encode_frames(
     lead = frames.shape[:-1]
     flat = jnp.reshape(frames, (-1, frames.shape[-1]))
     n = flat.shape[0]
+    if n == 0:
+        latent = model.latent_dim
+        return np.zeros((*lead, latent), np.float32)
     outs = []
     for s in range(0, n, chunk):
         piece = flat[s : s + chunk]

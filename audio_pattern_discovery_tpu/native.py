@@ -29,7 +29,7 @@ def _build() -> bool:
         )
         return _LIB_PATH.exists()
     except Exception:
-        return False
+        return _LIB_PATH.exists()
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -37,7 +37,10 @@ def get_lib() -> ctypes.CDLL | None:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB_PATH.exists() and not _build():
+    # Always invoke make (dependency-tracked, near-free when up to date) so
+    # source edits are never shadowed by a stale .so; a missing toolchain
+    # falls back to whatever binary exists.
+    if not _build():
         _load_failed = True
         return None
     try:
@@ -127,6 +130,12 @@ def dtw_batch_cpu(
     la = np.ascontiguousarray(len_a, dtype=np.int32)
     lb = np.ascontiguousarray(len_b, dtype=np.int32)
     B, S, d = a.shape
+    if b.shape != a.shape:
+        raise ValueError(f"b shape {b.shape} != a shape {a.shape}")
+    if la.shape != (B,) or lb.shape != (B,):
+        raise ValueError("length vectors must be [B]")
+    if (la > S).any() or (lb > S).any() or (la < 0).any() or (lb < 0).any():
+        raise ValueError("lengths must be within [0, S]")
     out = np.empty(B, dtype=np.float32)
     lib.apd_dtw_batch(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -56,6 +56,7 @@ static inline float frame_cost(const float* a, const float* b, int d, int metric
 float apd_dtw_pair(const float* a, const float* b, int n, int m, int d,
                    int band, int metric, int auto_widen) {
   const float INF = std::numeric_limits<float>::infinity();
+  if (n <= 0 || m <= 0) return INF;  // no feasible path (matches the jnp path)
   int w = band < 0 ? std::max(n, m) : band;
   if (band >= 0 && auto_widen) w = std::max(w, std::abs(n - m));
 
@@ -88,8 +89,8 @@ void apd_dtw_batch(const float* a, const float* b, const int32_t* len_a,
                    int band, int metric, int auto_widen, int normalize,
                    int n_threads) {
 #ifdef _OPENMP
-  if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic)
+  int nt = n_threads > 0 ? n_threads : omp_get_max_threads();
+#pragma omp parallel for schedule(dynamic) num_threads(nt)
 #endif
   for (int p = 0; p < B; ++p) {
     const float* ap = a + (size_t)p * S * d;
@@ -142,6 +143,18 @@ int apd_nn_chain(const double* dist, int K, int linkage, double* Z_out) {
           dxy = row[z];
           y = z;
         }
+      }
+      if (y < 0) {
+        // Every remaining distance from x is +inf (e.g. banded DTW with
+        // infeasible pairs): fall back to the first active partner, the
+        // same choice the Python argmin makes on an all-inf row.
+        for (int z = 0; z < K; ++z) {
+          if (active[z] && z != x) {
+            y = z;
+            break;
+          }
+        }
+        if (y < 0) return 1;  // no active partner left: inconsistent state
       }
       if (chain.size() > 1 && D[(size_t)x * K + chain[chain.size() - 2]] == dxy)
         y = chain[chain.size() - 2];
@@ -197,6 +210,7 @@ int64_t apd_read_wav_pcm16(const uint8_t* raw, int64_t raw_len, float* out,
     uint32_t chunk_size;
     std::memcpy(&chunk_size, raw + pos + 4, 4);
     if (std::memcmp(raw + pos, "fmt ", 4) == 0 && chunk_size >= 16) {
+      if (pos + 8 + 16 > raw_len) return -1;  // truncated fmt chunk
       uint16_t fmt, ch, ba, bi;
       uint32_t sr;
       std::memcpy(&fmt, raw + pos + 8, 2);
@@ -209,7 +223,11 @@ int64_t apd_read_wav_pcm16(const uint8_t* raw, int64_t raw_len, float* out,
       rate = (int32_t)sr;
     } else if (std::memcmp(raw + pos, "data", 4) == 0) {
       data = raw + pos + 8;
-      data_len = chunk_size;
+      // Clamp the declared size to the bytes actually present: truncated
+      // files and streaming WAVs with placeholder sizes (0xFFFFFFFF) must
+      // not drive reads past the buffer.
+      uint64_t avail = (uint64_t)(raw_len - pos - 8);
+      data_len = (uint32_t)std::min<uint64_t>(chunk_size, avail);
     }
     pos += 8 + chunk_size + (chunk_size & 1);
   }
@@ -288,8 +306,8 @@ int apd_wav_info_batch(const char* const* paths, int n_files,
                        int64_t* n_samples, int32_t* rates, int n_threads) {
   int n_fail = 0;
 #ifdef _OPENMP
-  if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic) reduction(+ : n_fail)
+  int nt = n_threads > 0 ? n_threads : omp_get_max_threads();
+#pragma omp parallel for schedule(dynamic) reduction(+ : n_fail) num_threads(nt)
 #endif
   for (int i = 0; i < n_files; ++i) {
     std::vector<uint8_t> head = read_file_bytes(paths[i], 64 * 1024);
@@ -312,8 +330,8 @@ int apd_wav_load_batch(const char* const* paths, int n_files, float* out,
                        int n_threads) {
   int n_fail = 0;
 #ifdef _OPENMP
-  if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic) reduction(+ : n_fail)
+  int nt = n_threads > 0 ? n_threads : omp_get_max_threads();
+#pragma omp parallel for schedule(dynamic) reduction(+ : n_fail) num_threads(nt)
 #endif
   for (int i = 0; i < n_files; ++i) {
     std::vector<uint8_t> raw = read_file_bytes(paths[i], -1);

@@ -69,3 +69,41 @@ def test_denoising_mode_trains(rng):
     _, _, losses = train_autoencoder(frames, cfg)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_encode_frames_empty_input():
+    import numpy as np
+
+    from audio_pattern_discovery_tpu.config import AutoencoderConfig
+    from audio_pattern_discovery_tpu.models.autoencoder import (
+        create_model,
+        encode_frames,
+        init_state,
+    )
+    import jax
+
+    cfg = AutoencoderConfig(latent_dim=4, hidden_dims=(8,))
+    model, state, _ = init_state(cfg, 16, jax.random.PRNGKey(0))
+    out = encode_frames(model, state.params, np.zeros((0, 16), np.float32))
+    assert out.shape == (0, 4)
+
+
+def test_train_fewer_frames_than_devices(rng):
+    """n < mesh size must replicate instead of crashing on batch shape."""
+    import jax
+
+    from audio_pattern_discovery_tpu.config import AutoencoderConfig, ParallelConfig
+    from audio_pattern_discovery_tpu.models.autoencoder import train_autoencoder
+    from audio_pattern_discovery_tpu.parallel.mesh import data_sharding, make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(ParallelConfig(), devices=jax.devices())
+    frames = rng.normal(0, 1, (5, 12)).astype(np.float32)
+    cfg = AutoencoderConfig(latent_dim=3, hidden_dims=(8,), epochs=2)
+    _, state, losses = train_autoencoder(
+        frames, cfg, data_sharding=data_sharding(mesh)
+    )
+    assert len(losses) == 2 and np.isfinite(losses).all()

@@ -71,3 +71,77 @@ def test_native_wav_demux_matches_python(tmp_path, rng):
     ref, ref_rate = read_wav(path)
     assert rate == ref_rate
     np.testing.assert_allclose(samples, ref, atol=1e-6)
+
+
+def test_truncated_wav_does_not_crash(tmp_path, rng):
+    """Corrupt/truncated WAVs must be rejected or clamped, never OOB-read."""
+    import struct
+
+    from audio_pattern_discovery_tpu import native
+    from audio_pattern_discovery_tpu.io.wavio import write_wav
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    write_wav(tmp_path / "ok.wav", rng.normal(0, 0.2, 4000), 16000)
+    raw = (tmp_path / "ok.wav").read_bytes()
+    # Truncate mid-data: declared size exceeds the bytes present.
+    (tmp_path / "trunc.wav").write_bytes(raw[: len(raw) // 2])
+    res = native.read_wav_pcm16(tmp_path / "trunc.wav")
+    assert res is not None
+    samples, rate = res
+    assert rate == 16000 and 0 < len(samples) < 4000
+    # Streaming-style bogus data size 0xFFFFFFFF.
+    bogus = bytearray(raw)
+    di = raw.index(b"data")
+    bogus[di + 4 : di + 8] = struct.pack("<I", 0xFFFFFFFF)
+    (tmp_path / "bogus.wav").write_bytes(bytes(bogus))
+    res = native.read_wav_pcm16(tmp_path / "bogus.wav")
+    assert res is not None and len(res[0]) == 4000
+
+
+def test_nn_chain_all_inf_distances():
+    """All-infinite rows (infeasible banded pairs) must not crash NN-chain."""
+    from audio_pattern_discovery_tpu import native
+    from audio_pattern_discovery_tpu.cluster.agglomerative import linkage
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    D = np.full((4, 4), np.inf)
+    np.fill_diagonal(D, 0.0)
+    D[0, 1] = D[1, 0] = 1.0  # one finite pair; the rest infeasible
+    Z = linkage(D, "average", use_native=True)
+    assert Z.shape == (3, 4) and np.isfinite(Z[0, 2])
+
+
+def test_dtw_batch_cpu_rejects_mismatched_shapes(rng):
+    from audio_pattern_discovery_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    a = rng.normal(0, 1, (2, 16, 3)).astype(np.float32)
+    b = rng.normal(0, 1, (2, 20, 3)).astype(np.float32)
+    la = np.array([16, 16], np.int32)
+    with np.testing.assert_raises(ValueError):
+        native.dtw_batch_cpu(a, b, la, la)
+    with np.testing.assert_raises(ValueError):
+        native.dtw_batch_cpu(a, a, np.array([17, 16], np.int32), la)
+
+
+def test_dtw_batch_cpu_empty_sequence_is_inf(rng):
+    from audio_pattern_discovery_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    a = rng.normal(0, 1, (1, 8, 2)).astype(np.float32)
+    out = native.dtw_batch_cpu(
+        a, a, np.array([0], np.int32), np.array([8], np.int32)
+    )
+    assert np.isinf(out[0])
