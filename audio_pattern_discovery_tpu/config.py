@@ -66,6 +66,9 @@ class SegmentationConfig:
     method: str = "energy"          # "energy" | "sliding"
     # -- energy method --
     threshold_db: float = -20.0     # energy gate in dB relative to clip peak
+    # Absolute energy floor (dB re. full-scale power): frames below this are
+    # never active, so silent/uniform clips yield no junk segments.
+    min_energy_db: float = -90.0
     min_len_frames: int = 8         # discard segments shorter than this
     max_len_frames: int = 256       # split segments longer than this
     merge_gap_frames: int = 4       # merge active runs separated by <= gap

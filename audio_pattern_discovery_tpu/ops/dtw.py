@@ -247,6 +247,8 @@ def dtw_batch_with_dirs(
     (_, _, out, _), dirs = jax.lax.scan(step, init, Cs)          # dirs [K, B, M]
     if normalize == "path_len":
         out = out / (len_a + len_b).astype(jnp.float32)
+    elif normalize != "none":
+        raise ValueError(f"unknown normalize {normalize!r}")
     return out, jnp.transpose(dirs, (1, 0, 2))
 
 

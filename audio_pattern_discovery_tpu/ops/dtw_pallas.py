@@ -96,6 +96,10 @@ def _dtw_rowscan_kernel(
         b,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        # HIGHEST (multi-pass f32): the default single bf16 MXU pass
+        # catastrophically cancels in |a|^2+|b|^2-2ab — self-distances come
+        # out ~0.1 instead of 0 (same guard as ops/dtw.py pairwise_cost).
+        precision=jax.lax.Precision.HIGHEST,
     )                                               # [PB, S(i), S(j)]
     if metric == "cosine":
         cmat_ref[:] = 1.0 - gram

@@ -62,7 +62,10 @@ def segment_energy(
     e = np.asarray(energies[:n_frames], dtype=np.float64)
     if len(e) == 0:
         return []
-    thr = e.max() + cfg.threshold_db / 10.0
+    # Absolute floor: a silent/uniform clip (all frames at the noise floor)
+    # must yield NO segments, not one giant run — the peak-relative gate
+    # alone would activate every frame when peak == floor.
+    thr = max(e.max() + cfg.threshold_db / 10.0, cfg.min_energy_db / 10.0)
     runs = _merge_gaps(_runs_from_mask(e >= thr), cfg.merge_gap_frames)
     out: list[tuple[int, int]] = []
     for s, end in runs:

@@ -112,11 +112,17 @@ def batched_spectrogram(
         im = jnp.einsum(
             "bfw,wk->bfk", fr, sin_m, precision=jax.lax.Precision.HIGHEST
         )
-        mag = jnp.sqrt(jnp.maximum(re * re + im * im, 0.0))
+        p2 = jnp.maximum(re * re + im * im, 0.0)               # |X|^2, no sqrt
     else:
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)          # [B, F, n_fft//2+1]
-        mag = jnp.abs(spec)
-    out = mag if power == 1.0 else mag**power
+        p2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    # Power spectrum (the default) needs neither sqrt nor pow.
+    if power == 2.0:
+        out = p2
+    elif power == 1.0:
+        out = jnp.sqrt(p2)
+    else:
+        out = p2 ** (power / 2.0)
     if max_bins is not None:
         out = out[..., :max_bins]
 
@@ -174,7 +180,11 @@ def _spectrogram_energy_tile(signals, lengths, **kw):
     tile; fused, the whole tile is one XLA program (one dispatch).
     """
     out, fc = batched_spectrogram(signals, lengths, **kw)
-    en = frame_energy(out, log_scale=kw.get("log_scale", True))
+    en = frame_energy(
+        out,
+        log_scale=kw.get("log_scale", True),
+        power=kw.get("power", 2.0),
+    )
     return out, fc, en
 
 
@@ -294,16 +304,23 @@ def spectrogram_corpus(
     return specs, frame_counts, energies
 
 
-def frame_energy(spectrograms: jax.Array, log_scale: bool = True) -> jax.Array:
+def frame_energy(
+    spectrograms: jax.Array, log_scale: bool = True, power: float = 2.0
+) -> jax.Array:
     """Per-frame energy [B, F]: log10 of *mean power* across bins.
 
     Mean-of-logs (a geometric mean) would dilute narrowband signals below
     the gate; arithmetic mean power keeps a tonal motif ~10*log10(SNR)
     log-units above the noise floor, which is what the dB-relative
-    segmentation threshold assumes.
+    segmentation threshold assumes.  `power` is the exponent the input
+    spectrogram was computed with (1.0 = magnitude, 2.0 = power); values
+    are raised to 2/power so the gate always operates in power units and
+    threshold_db keeps its dB meaning for magnitude spectrograms too.
     """
     if log_scale:
-        power = jnp.power(10.0, spectrograms)   # undo log10 compression
+        lin = jnp.power(10.0, spectrograms)     # undo log10 compression
     else:
-        power = spectrograms
-    return jnp.log10(jnp.maximum(jnp.mean(power, axis=-1), 1e-10))
+        lin = spectrograms
+    if power != 2.0:
+        lin = jnp.maximum(lin, 0.0) ** (2.0 / power)
+    return jnp.log10(jnp.maximum(jnp.mean(lin, axis=-1), 1e-10))

@@ -175,7 +175,10 @@ def discover(
         clips = load_corpus(wav_dir)
         sigs = [c.samples for c in clips]
         if cfg.spectrogram.normalize_signal:
-            sigs = [s / max(float(np.abs(s).max()), 1e-9) for s in sigs]
+            sigs = [
+                s / max(float(np.abs(s).max()) if len(s) else 0.0, 1e-9)
+                for s in sigs
+            ]
     counters.add("clips", len(clips))
     log.info(f"loaded {len(clips)} clips")
 
@@ -300,7 +303,11 @@ def discover(
             # the final 3 merges never auto-apply — on tiny corpora the
             # quantile is too coarse and would fuse distinct motifs (purity
             # beats fragmentation; explicit threshold/n_clusters override).
-            from audio_pattern_discovery_tpu.cluster.agglomerative import linkage
+            # One linkage pass serves both the cut choice and the labels.
+            from audio_pattern_discovery_tpu.cluster.agglomerative import (
+                cut_linkage,
+                linkage,
+            )
 
             Z = linkage(D, ccfg.linkage, use_native=ccfg.use_native)
             if len(Z) > 4:
@@ -310,13 +317,15 @@ def discover(
                 thr = float(np.median(Z[:, 2]))
             else:
                 thr = 0.0
-        labels, _ = cluster_distance_matrix(
-            D,
-            ccfg.linkage,
-            distance_threshold=thr,
-            n_clusters=ccfg.n_clusters,
-            use_native=ccfg.use_native,
-        )
+            labels = cut_linkage(Z, D.shape[0], distance_threshold=thr)
+        else:
+            labels, _ = cluster_distance_matrix(
+                D,
+                ccfg.linkage,
+                distance_threshold=thr,
+                n_clusters=ccfg.n_clusters,
+                use_native=ccfg.use_native,
+            )
     counters.add("clusters_raw", len(np.unique(labels)))
 
     # ---- L5: motif extraction + alignments ------------------------------

@@ -84,3 +84,19 @@ def test_tpu_compiled_banded(rng):
     scan = np.asarray(dtw_batch(a, b, la, lb, band=16))
     pallas = np.asarray(dtw_batch_pallas(a, b, la, lb, band=16))
     np.testing.assert_allclose(pallas, scan, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.tpu
+def test_self_distance_precision_on_hardware(rng):
+    """Gram matmul must run multi-pass f32 on the MXU: with the default
+    single bf16 pass, self sq-distances come out ~0.2 per cell and identical
+    motifs look dissimilar (review finding, fixed with precision=HIGHEST)."""
+    import jax.numpy as jnp
+
+    a = rng.normal(0, 1, (32, 128, 16)).astype(np.float32)
+    la = jnp.asarray(np.full(32, 128, np.int32))
+    aj = jnp.asarray(a)
+    d_self = np.asarray(dtw_batch_pallas(aj, aj, la, la, band=16))
+    b = jnp.asarray(rng.normal(0, 1, a.shape).astype(np.float32))
+    d_dist = np.asarray(dtw_batch_pallas(aj, b, la, la, band=16))
+    assert np.abs(d_self).max() < 1e-3 * d_dist.mean()

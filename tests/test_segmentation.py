@@ -59,3 +59,15 @@ def test_segment_corpus_respects_frame_counts():
         by_clip.setdefault(s.clip, []).append((s.start_frame, s.end_frame))
     assert by_clip[0] == [(30, 50), (100, 140)]
     assert by_clip[1] == [(30, 50)]
+
+
+def test_silent_clip_yields_no_segments():
+    """A digitally silent clip must not flood the pipeline with junk runs."""
+    import numpy as np
+
+    from audio_pattern_discovery_tpu.config import SegmentationConfig
+    from audio_pattern_discovery_tpu.ops.segmentation import segment_energy
+
+    cfg = SegmentationConfig()
+    silent = np.full(500, -10.0)  # all frames at the log floor
+    assert segment_energy(silent, 500, cfg) == []
