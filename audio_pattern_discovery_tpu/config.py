@@ -218,6 +218,20 @@ class PipelineConfig:
         )
         check(self.autoencoder.latent_dim > 0, "autoencoder.latent_dim must be > 0")
         check(self.autoencoder.epochs >= 0, "autoencoder.epochs must be >= 0")
+        check(
+            0.0 <= cl.auto_cut_quantile <= 1.0,
+            f"cluster.auto_cut_quantile={cl.auto_cut_quantile} must be in [0, 1]",
+        )
+        check(cl.min_cluster_size >= 1, "cluster.min_cluster_size must be >= 1")
+        sg = self.segmentation
+        check(sg.method in ("energy", "sliding"), f"segmentation.method={sg.method!r}")
+        check(sg.min_len_frames >= 1, "segmentation.min_len_frames must be >= 1")
+        check(
+            sg.max_len_frames >= sg.min_len_frames,
+            f"segmentation.max_len_frames={sg.max_len_frames} < min_len_frames",
+        )
+        check(sg.window_frames >= 1, "segmentation.window_frames must be >= 1")
+        check(sg.stride_frames >= 1, "segmentation.stride_frames must be >= 1")
         return self
 
     # ---------------------------------------------------------- serialization
@@ -229,17 +243,6 @@ class PipelineConfig:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
-        def build(tp, sub):
-            kwargs = {}
-            for f in dataclasses.fields(tp):
-                if f.name not in sub:
-                    continue
-                v = sub[f.name]
-                if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-                    v = build(f.type, v)
-                kwargs[f.name] = v
-            return tp(**kwargs)
-
         sections = {
             "spectrogram": SpectrogramConfig,
             "segmentation": SegmentationConfig,
@@ -249,6 +252,12 @@ class PipelineConfig:
             "output": OutputConfig,
             "parallel": ParallelConfig,
         }
+        unknown = set(d) - set(sections) - {"seed"}
+        if unknown:
+            raise ValueError(
+                f"unknown config section(s) {sorted(unknown)}; "
+                f"expected {sorted(sections)} or 'seed'"
+            )
         kwargs: dict[str, Any] = {}
         for name, tp in sections.items():
             if name in d:

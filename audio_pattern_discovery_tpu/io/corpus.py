@@ -54,7 +54,10 @@ def load_corpus(
             clips = [
                 Clip(
                     path=str(p),
-                    samples=padded[i, : lengths[i]],
+                    # Copy out of the padded batch: a view would pin the
+                    # whole [n_clips, max_len] allocation (mostly padding
+                    # for ragged corpora) for the lifetime of the clips.
+                    samples=padded[i, : lengths[i]].copy(),
                     sample_rate=int(rates[i]),
                 )
                 for i, p in enumerate(paths)

@@ -39,8 +39,8 @@ def write_html_report(out_dir: str | Path, manifest: dict) -> Path:
             "<tr><td>{seg}</td><td>{f}</td><td>{s:.2f}-{e:.2f}s</td><td>{x}</td></tr>".format(
                 seg=m["segment"],
                 f=html.escape(Path(m["file"]).name),
-                s=m["start_sample"] / 44_100,
-                e=m["end_sample"] / 44_100,
+                s=m["start_sample"] / m.get("sample_rate", 44_100),
+                e=m["end_sample"] / m.get("sample_rate", 44_100),
                 x="&#9733;" if m.get("is_exemplar") else "",
             )
             for m in c["members"]

@@ -31,6 +31,7 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
 
     fmt = None
+    fmt_body = b""
     data = None
     pos = 12
     while pos + 8 <= len(raw):
@@ -39,6 +40,7 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[np.ndarray, int]:
         body = raw[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif chunk_id == b"data":
             data = body
         pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
@@ -47,9 +49,13 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
-        # True format lives in the extension's SubFormat GUID; the first two
-        # bytes of the GUID are the classic format tag.
-        audio_format = _WAVE_FORMAT_PCM if bits != 32 else _WAVE_FORMAT_IEEE_FLOAT
+        # The true format tag is the first two bytes of the extension's
+        # SubFormat GUID (fmt body offset 24); guessing from the bit depth
+        # would misread 32-bit int PCM as float.
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:
+            raise ValueError(f"{path}: truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
 
     if audio_format == _WAVE_FORMAT_PCM:
         if bits == 8:

@@ -71,6 +71,7 @@ class DiscoveryResult:
                     {
                         "segment": m,
                         "file": clip.path,
+                        "sample_rate": clip.sample_rate,
                         "start_frame": seg.start_frame,
                         "end_frame": seg.end_frame,
                         "start_sample": seg.start_frame * hop,

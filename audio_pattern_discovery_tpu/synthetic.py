@@ -41,10 +41,17 @@ def _motif_bank(n_motifs: int, sr: int, rng: np.random.Generator):
         t = np.arange(int(dur * sr)) / sr
         return sum(np.sin(2 * np.pi * f * t) for f in freqs) / len(freqs)
 
+    # Highest multiplier below is 2.7 (tone stack) / ~2.6 (chirp top), so cap
+    # the base such that every partial stays under 0.45*sr (below Nyquist
+    # with margin) — otherwise many-motif banks at 16 kHz would alias and
+    # corrupt the planted ground truth.
+    base_cap = 0.45 * sr / 2.7
+
     protos = []
     for k in range(n_motifs):
         kind = k % 3
         base = 400.0 + 700.0 * k + rng.uniform(0, 120)
+        base = min(base, base_cap * (0.75 + 0.25 * ((k * 7919) % 97) / 97.0))
         if kind == 0:
             protos.append(lambda dur, b=base: chirp(b, b * (2.2 + 0.2 * (b % 3)), dur))
         elif kind == 1:

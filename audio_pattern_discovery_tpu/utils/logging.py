@@ -32,16 +32,18 @@ class _JsonFormatter(logging.Formatter):
 def get_logger(name: str = "apd", json_lines: bool = False) -> logging.Logger:
     logger = logging.getLogger(name)
     if not logger.handlers:
-        handler = logging.StreamHandler(sys.stderr)
-        if json_lines:
-            handler.setFormatter(_JsonFormatter())
-        else:
-            handler.setFormatter(
-                logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
-            )
-        logger.addHandler(handler)
+        logger.addHandler(logging.StreamHandler(sys.stderr))
         logger.setLevel(logging.INFO)
         logger.propagate = False
+    # (Re)apply the requested format: the first caller must not permanently
+    # fix the formatter for later callers asking for the other style.
+    formatter = (
+        _JsonFormatter()
+        if json_lines
+        else logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+    )
+    for handler in logger.handlers:
+        handler.setFormatter(formatter)
     return logger
 
 

@@ -200,3 +200,14 @@ def test_golden_harness_roundtrip(tmp_path, monkeypatch):
                        cwd="/root/repo", env=env, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr[-2000:]
     assert "partition identical" in r.stdout
+
+
+def test_config_from_dict_rejects_unknown_section():
+    import pytest
+
+    from audio_pattern_discovery_tpu.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="spectogram"):
+        PipelineConfig.from_dict({"spectogram": {"hop_length": 128}})
+    with pytest.raises(TypeError):
+        PipelineConfig.from_dict({"dtw": {"bandd": 3}})

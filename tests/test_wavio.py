@@ -106,3 +106,26 @@ def test_native_loader_falls_back_on_nonpcm16(tmp_path, rng):
     clips = load_corpus(tmp_path, use_native=True)
     assert len(clips) == 2
     np.testing.assert_allclose(clips[1].samples, x, atol=1e-7)
+
+
+def test_extensible_int32_pcm(tmp_path, rng):
+    """WAVE_FORMAT_EXTENSIBLE must honor the SubFormat GUID, not bit depth."""
+    import struct
+
+    from audio_pattern_discovery_tpu.io.wavio import read_wav
+
+    x = (rng.normal(0, 0.1, 1000) * 2**31).clip(-(2**31), 2**31 - 1).astype("<i4")
+    pcm = x.tobytes()
+    # fmt chunk: extensible (0xFFFE), 1ch, 16kHz, 32-bit int PCM SubFormat.
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+    )
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 64000, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0x4) + guid
+    hdr = b"RIFF" + struct.pack("<I", 12 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    (tmp_path / "ext.wav").write_bytes(hdr + pcm)
+    samples, rate = read_wav(tmp_path / "ext.wav")
+    assert rate == 16000
+    np.testing.assert_allclose(samples, x / 2**31, atol=1e-6)
