@@ -224,6 +224,10 @@ def spectrogram_corpus(
         raise ValueError(f"no clip reaches win_length={win} samples")
     CF = int(chunk_frames)
     chunk_samples = CF * hop + (win - hop)
+    # Don't pad a small corpus up to the configured tile height: every tile
+    # upload would mostly carry zero rows (a 3-clip corpus in a 16-row tile
+    # wastes 81% of the host->device bandwidth).
+    clip_batch = min(clip_batch, B)
     bins = cfg.n_bins
     specs = None
     if not return_device:
