@@ -237,8 +237,25 @@ def spectrogram_corpus(
     frame_counts = frames_per_clip.copy()
     energies = np.full((B, F_max), np.log10(np.float32(1e-10)), dtype=np.float32)
 
-    tile_sig = np.zeros((clip_batch, chunk_samples), dtype=np.float32)
     device_groups: list[jax.Array] = []
+    # Dispatch pipelining: materializing each tile's (tiny) energy vector
+    # immediately would serialize upload -> compute -> download per tile;
+    # holding a small window of in-flight tiles lets the next tile's upload
+    # overlap the previous tile's compute.
+    pending: list[tuple] = []
+
+    def collect_one():
+        g0_, glen_, f0_, out_, fc_, en_ = pending.pop(0)
+        en_np = np.asarray(en_)
+        fc_np = np.asarray(fc_)
+        out_np = None if out_ is None else np.asarray(out_)
+        for k in range(glen_):
+            n = min(int(fc_np[k]), CF, F_max - f0_)
+            if n > 0:
+                if out_np is not None:
+                    specs[g0_ + k, f0_ : f0_ + n] = out_np[k, :n]
+                energies[g0_ + k, f0_ : f0_ + n] = en_np[k, :n]
+
     for g0 in range(0, B, clip_batch):
         group = sigs[g0 : g0 + clip_batch]
         g_frames = frames_per_clip[g0 : g0 + clip_batch]
@@ -246,7 +263,10 @@ def spectrogram_corpus(
         group_tiles: list[jax.Array] = []
         for c in range(n_chunks):
             s0 = c * CF * hop
-            tile_sig[:] = 0.0
+            # Fresh buffer per tile: with tiles in flight, a reused buffer
+            # could be aliased zero-copy by the CPU backend and corrupted by
+            # the next iteration's writes.
+            tile_sig = np.zeros((clip_batch, chunk_samples), dtype=np.float32)
             tile_len = np.zeros((clip_batch,), dtype=np.int32)
             for k, sig in enumerate(group):
                 avail = max(0, len(sig) - s0)
@@ -267,23 +287,16 @@ def spectrogram_corpus(
                 max_bins=cfg.max_bins,
                 fft_impl=cfg.fft_impl,
             )
-            en_np = np.asarray(en)
-            fc_np = np.asarray(fc)
-            f0 = c * CF
             if return_device:
                 # Invalid frames already hold the log floor (masked in the
                 # kernel), so raw tiles concatenate into the final layout
                 # with no host round-trip of the spectrogram data.
                 group_tiles.append(out)
-                out_np = None
+                pending.append((g0, len(group), c * CF, None, fc, en))
             else:
-                out_np = np.asarray(out)
-            for k in range(len(group)):
-                n = min(int(fc_np[k]), CF, F_max - f0)
-                if n > 0:
-                    if out_np is not None:
-                        specs[g0 + k, f0 : f0 + n] = out_np[k, :n]
-                    energies[g0 + k, f0 : f0 + n] = en_np[k, :n]
+                pending.append((g0, len(group), c * CF, out, fc, en))
+            if len(pending) >= 3:
+                collect_one()
         if return_device:
             g = (
                 jnp.concatenate(group_tiles, axis=1)
@@ -298,6 +311,8 @@ def spectrogram_corpus(
                     constant_values=np.float32(fill),
                 )
             device_groups.append(g[:, :F_max])
+    while pending:
+        collect_one()
     if return_device:
         specs_dev = (
             jnp.concatenate(device_groups, axis=0)
