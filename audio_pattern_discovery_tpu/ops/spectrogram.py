@@ -173,12 +173,21 @@ def spectrogram_from_config(
         "fft_impl",
     ),
 )
-def _spectrogram_energy_tile(signals, lengths, **kw):
+def _spectrogram_energy_tile(signals, lengths, scales=None, **kw):
     """One fused device call per tile: spectrogram + frame counts + energy.
 
     A separate eager frame_energy would cost extra dispatch round-trips per
     tile; fused, the whole tile is one XLA program (one dispatch).
+
+    `signals` may be int16 with per-clip `scales`: PCM16 sources ship at
+    half the host->device bandwidth and are decoded on device exactly
+    (x/32768 is a power-of-two scale; the subsequent /scale division
+    matches the host normalization bit for bit).
     """
+    if signals.dtype == jnp.int16:
+        signals = signals.astype(jnp.float32) / jnp.float32(32768.0)
+        if scales is not None:
+            signals = signals / scales[:, None]
     out, fc = batched_spectrogram(signals, lengths, **kw)
     en = frame_energy(
         out,
@@ -195,6 +204,7 @@ def spectrogram_corpus(
     clip_batch: int = 16,
     chunk_frames: int = 1024,
     return_device: bool = False,
+    scales: np.ndarray | None = None,
 ) -> tuple[np.ndarray | jax.Array, np.ndarray, np.ndarray]:
     """Streaming corpus STFT with *fixed* device shapes (SURVEY.md SS8 P1).
 
@@ -261,12 +271,18 @@ def spectrogram_corpus(
         g_frames = frames_per_clip[g0 : g0 + clip_batch]
         n_chunks = max(1, -(-int(g_frames.max()) // CF))
         group_tiles: list[jax.Array] = []
+        g_scales = None
+        if scales is not None:
+            g_scales = np.ones((clip_batch,), np.float32)
+            g_scales[: len(group)] = scales[g0 : g0 + clip_batch]
         for c in range(n_chunks):
             s0 = c * CF * hop
             # Fresh buffer per tile: with tiles in flight, a reused buffer
             # could be aliased zero-copy by the CPU backend and corrupted by
-            # the next iteration's writes.
-            tile_sig = np.zeros((clip_batch, chunk_samples), dtype=np.float32)
+            # the next iteration's writes.  int16 input (PCM16 sources)
+            # ships at half the bandwidth and is decoded+scaled on device.
+            dtype = sigs[0].dtype if sigs[0].dtype == np.int16 else np.float32
+            tile_sig = np.zeros((clip_batch, chunk_samples), dtype=dtype)
             tile_len = np.zeros((clip_batch,), dtype=np.int32)
             for k, sig in enumerate(group):
                 avail = max(0, len(sig) - s0)
@@ -277,6 +293,7 @@ def spectrogram_corpus(
             out, fc, en = _spectrogram_energy_tile(
                 jnp.asarray(tile_sig),
                 jnp.asarray(tile_len),
+                scales=None if g_scales is None else jnp.asarray(g_scales),
                 win_length=cfg.win_length,
                 hop_length=cfg.hop_length,
                 window=cfg.window,

@@ -175,13 +175,36 @@ def discover(
     with counters.time_stage("ingest"):
         clips = load_corpus(wav_dir)
         sigs = [c.samples for c in clips]
-        if cfg.spectrogram.normalize_signal:
-            sigs = [
-                s / max(float(np.abs(s).max()) if len(s) else 0.0, 1e-9)
-                for s in sigs
-            ]
+        peaks = np.array(
+            [max(float(np.abs(s).max()) if len(s) else 0.0, 1e-9) for s in sigs],
+            np.float32,
+        )
+        # PCM16-exact sources ship to the device as int16 (half the upload
+        # bandwidth — the dominant cost for long recordings on a remote
+        # backend); decode + per-clip normalization happen on device with
+        # bit-identical results (x/32768 is a power-of-two scale, and the
+        # /peak division matches the host's).  Anything not exactly
+        # int16-representable keeps the f32 path.
+        scales = None
+        i16 = []
+        for s in sigs:
+            q = np.round(s * 32768.0)
+            if (np.abs(q) <= 32767).all() and (q.astype(np.float32) == s * 32768.0).all():
+                i16.append(q.astype(np.int16))
+            else:
+                i16 = None
+                break
+        if i16 is not None:
+            sigs = i16
+            if cfg.spectrogram.normalize_signal:
+                scales = peaks
+        elif cfg.spectrogram.normalize_signal:
+            sigs = [s / p for s, p in zip(sigs, peaks)]
     counters.add("clips", len(clips))
-    log.info(f"loaded {len(clips)} clips")
+    log.info(
+        f"loaded {len(clips)} clips"
+        + (" (PCM16-exact: int16 device upload)" if i16 is not None else "")
+    )
 
     # ---- L1: spectrograms (device, fixed-shape streaming tiles) ---------
     # The full spectrogram corpus stays device-resident when it fits HBM;
@@ -205,6 +228,7 @@ def discover(
             clip_batch=cfg.spectrogram.clip_batch,
             chunk_frames=cfg.spectrogram.chunk_frames,
             return_device=on_device,
+            scales=scales,
         )
     counters.add("frames", float(frame_counts.sum()))
 

@@ -200,3 +200,25 @@ def test_device_segment_extraction_matches_host(rng):
     got, got_len = extract_segment_features_device(jnp.asarray(specs), segments, L)
     np.testing.assert_array_equal(want_len, got_len)
     np.testing.assert_allclose(want, np.asarray(got), rtol=1e-6, atol=1e-6)
+
+
+def test_int16_upload_is_bit_exact(rng):
+    """int16 device upload + on-device decode/normalize == f32 host path."""
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
+
+    cfg = SpectrogramConfig(win_length=64, hop_length=16)
+    raw = [
+        (rng.integers(-30000, 30000, int(n)).astype(np.int16))
+        for n in rng.integers(300, 1200, 5)
+    ]
+    f32 = [r.astype(np.float32) / 32768.0 for r in raw]
+    peaks = np.array([max(np.abs(s).max(), 1e-9) for s in f32], np.float32)
+    normed = [s / p for s, p in zip(f32, peaks)]
+    want, fc_w, en_w = spectrogram_corpus(normed, cfg, clip_batch=3, chunk_frames=8)
+    got, fc_g, en_g = spectrogram_corpus(
+        raw, cfg, clip_batch=3, chunk_frames=8, scales=peaks
+    )
+    np.testing.assert_array_equal(fc_w, fc_g)
+    np.testing.assert_array_equal(want, got)
+    np.testing.assert_array_equal(en_w, en_g)
