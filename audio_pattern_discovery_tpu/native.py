@@ -231,6 +231,11 @@ def load_wavs_batch(
     )
     if rc != 0:
         return None
+    # Streaming WAVs declare placeholder data sizes (0xFFFFFFFF); clamp each
+    # count by what the file can physically hold (2 bytes/sample lower
+    # bound) so one bogus header cannot size a multi-GB padded batch.
+    sizes = np.array([Path(p).stat().st_size for p in paths], np.int64)
+    n_samples = np.minimum(n_samples, np.maximum(sizes - 44, 0) // 2)
     stride = int(n_samples.max())
     if stride <= 0:
         return None

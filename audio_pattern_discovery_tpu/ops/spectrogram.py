@@ -224,6 +224,11 @@ def spectrogram_corpus(
     """
     if not sigs:
         raise ValueError("empty corpus")
+    if any(s.dtype != sigs[0].dtype for s in sigs):
+        raise ValueError(
+            "all clips must share a dtype; mixing int16 and float32 would "
+            "silently truncate the float clips in the int16 tile buffer"
+        )
     win, hop = cfg.win_length, cfg.hop_length
     B = len(sigs)
     frames_per_clip = np.array(

@@ -151,6 +151,20 @@ def _dtw_block(
     )
 
 
+def _with_retries(fn: Callable, max_retries: int):
+    """Re-run `fn` up to max_retries times; caller has already seen one
+    failure, so max_retries < 1 re-raises immediately."""
+    if max_retries < 1:
+        raise
+    for attempt in range(max_retries):
+        try:
+            return fn()
+        except Exception:
+            if attempt == max_retries - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def _block_key(ii: np.ndarray, jj: np.ndarray, cfg_tag: bytes = b"") -> str:
     """Resume key: pair indices + the DTW config fingerprint, so blocks
     persisted under one metric/band/normalization are never reused after a
@@ -159,10 +173,22 @@ def _block_key(ii: np.ndarray, jj: np.ndarray, cfg_tag: bytes = b"") -> str:
     return f"block_{ii[0]}_{jj[0]}_{len(ii)}_{h.hexdigest()[:16]}"
 
 
-def _cfg_tag(cfg: DTWConfig) -> bytes:
-    return repr(
-        (cfg.metric, cfg.band, cfg.auto_widen_band, cfg.normalize, cfg.dtype)
-    ).encode()
+def _cfg_tag(cfg: DTWConfig, features: np.ndarray, lengths: np.ndarray) -> bytes:
+    """DTW config + a feature fingerprint: resume blocks must also be
+    invalidated when UPSTREAM config changes the features (different AE,
+    bins, segmentation) — same indices, different sequences.  The
+    fingerprint hashes shapes, lengths, and a 64-row stride of the feature
+    tensor (any feature-affecting change perturbs essentially all values)."""
+    h = hashlib.sha1(
+        repr(
+            (cfg.metric, cfg.band, cfg.auto_widen_band, cfg.normalize, cfg.dtype)
+        ).encode()
+    )
+    h.update(repr(features.shape).encode())
+    h.update(np.ascontiguousarray(lengths).tobytes())
+    step = max(1, features.shape[0] // 64)
+    h.update(np.ascontiguousarray(features[::step]).tobytes())
+    return h.hexdigest().encode()
 
 
 def all_pairs_distances(
@@ -205,6 +231,7 @@ def all_pairs_distances(
     if block_dir is not None:
         block_dir = Path(block_dir)
         block_dir.mkdir(parents=True, exist_ok=True)
+        cfg_tag = _cfg_tag(cfg, features, lengths)
 
     # Effective batch: don't pad a tiny workload up to the configured TPU
     # batch — round the corpus's own pair count to a lane-friendly multiple.
@@ -225,17 +252,9 @@ def all_pairs_distances(
         try:
             vals = np.asarray(fut)[: len(ii)]
         except Exception:
-            if max_retries < 1:
-                raise
-            vals = None
-            for attempt in range(max_retries):
-                try:
-                    vals = np.asarray(dispatch())[: len(ii)]
-                    break
-                except Exception:
-                    if attempt == max_retries - 1:
-                        raise
-            assert vals is not None
+            vals = _with_retries(
+                lambda: np.asarray(dispatch())[: len(ii)], max_retries
+            )
         D[ii, jj] = vals
         D[jj, ii] = vals
         if path is not None:
@@ -251,7 +270,7 @@ def all_pairs_distances(
     for bi, (bucket, ii, jj) in enumerate(blocks):
         path = None
         if block_dir is not None:
-            path = block_dir / (_block_key(ii, jj, _cfg_tag(cfg)) + ".npz")
+            path = block_dir / (_block_key(ii, jj, cfg_tag) + ".npz")
             if path.exists():
                 saved = np.load(path)
                 vals = saved["d"]
@@ -297,17 +316,7 @@ def all_pairs_distances(
         try:
             fut = dispatch()
         except Exception:
-            if max_retries < 1:
-                raise
-            fut = None
-            for attempt in range(max_retries):
-                try:
-                    fut = dispatch()
-                    break
-                except Exception:
-                    if attempt == max_retries - 1:
-                        raise
-            assert fut is not None
+            fut = _with_retries(dispatch, max_retries)
         pending.append((ii, jj, dispatch, fut, path))
         if len(pending) >= 4 * len(devices):
             collect_one()

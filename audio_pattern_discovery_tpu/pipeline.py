@@ -189,7 +189,11 @@ def discover(
         i16 = []
         for s in sigs:
             q = np.round(s * 32768.0)
-            if (np.abs(q) <= 32767).all() and (q.astype(np.float32) == s * 32768.0).all():
+            if (
+                (q >= -32768).all()
+                and (q <= 32767).all()
+                and (q.astype(np.float32) == s * 32768.0).all()
+            ):
                 i16.append(q.astype(np.int16))
             else:
                 i16 = None

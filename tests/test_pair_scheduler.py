@@ -56,13 +56,26 @@ def test_block_checkpoint_resume(rng, tmp_path):
     feats, lengths = _features(rng, K=8, L=32)
     cfg = DTWConfig(pair_batch=5, max_seq_len=32)
     D1 = all_pairs_distances(feats, lengths, cfg, block_dir=tmp_path)
-    n_blocks = len(list(tmp_path.glob("*.npz")))
-    assert n_blocks > 0
-    # Second run resumes entirely from blocks: feed garbage features to prove
-    # no recomputation happens.
-    garbage = np.zeros_like(feats)
-    D2 = all_pairs_distances(garbage, lengths, cfg, block_dir=tmp_path)
+    blocks_before = {p.name: p.stat().st_mtime for p in tmp_path.glob("*.npz")}
+    assert blocks_before
+    # Second run with identical inputs resumes entirely from blocks: results
+    # equal and no block file is rewritten.
+    D2 = all_pairs_distances(feats, lengths, cfg, block_dir=tmp_path)
     np.testing.assert_array_equal(D1, D2)
+    blocks_after = {p.name: p.stat().st_mtime for p in tmp_path.glob("*.npz")}
+    assert blocks_after == blocks_before
+
+
+def test_block_checkpoint_invalidated_by_feature_change(rng, tmp_path):
+    """Same indices but different upstream features must NOT reuse blocks."""
+    feats, lengths = _features(rng, K=8, L=32)
+    cfg = DTWConfig(pair_batch=5, max_seq_len=32, use_pallas=False)
+    D1 = all_pairs_distances(feats, lengths, cfg, block_dir=tmp_path)
+    other = feats * 2.0
+    D2 = all_pairs_distances(other, lengths, cfg, block_dir=tmp_path)
+    assert not np.allclose(D1, D2), "feature change must invalidate blocks"
+    D2_fresh = all_pairs_distances(other, lengths, cfg)
+    np.testing.assert_allclose(D2, D2_fresh, rtol=1e-6)
 
 
 def test_banded_all_pairs(rng):
