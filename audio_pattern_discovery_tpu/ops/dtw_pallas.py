@@ -66,22 +66,24 @@ def default_pair_block(seq_len: int) -> int:
 
 
 def _dtw_rowscan_kernel(
-    a_ref,       # [PB, d, S] f32 (time-minor)
+    a_ref,       # [PB, d, R] f32 (time-minor; R = row capacity, may be < S)
     b_ref,       # [PB, d, S] f32
-    la_ref,      # [PB, 1] i32
+    la_ref,      # [PB, 1] i32  (la <= R for all real pairs)
     lb_ref,      # [PB, 1] i32
     out_ref,     # [PB, 1] f32
-    cmat_ref,    # scratch [PB, S, S] f32
+    cmat_ref,    # scratch [PB, R, S] f32
     *,
+    rows: int,
     seq_len: int,
     band: int | None,
     auto_widen: bool,
     metric: str,
 ):
     PB = a_ref.shape[0]
+    R = rows
     S = seq_len
 
-    a = a_ref[:]                                    # [PB, d, S]
+    a = a_ref[:]                                    # [PB, d, R]
     b = b_ref[:]
     la = la_ref[:]                                  # [PB, 1]
     lb = lb_ref[:]
@@ -107,7 +109,7 @@ def _dtw_rowscan_kernel(
     if metric == "cosine":
         cmat_ref[:] = 1.0 - gram
     else:
-        sqa = jnp.sum(a * a, axis=1)                # [PB, S]
+        sqa = jnp.sum(a * a, axis=1)                # [PB, R]
         sqb = jnp.sum(b * b, axis=1)                # [PB, S]
         sq = jnp.maximum(
             sqa[:, :, None] + sqb[:, None, :] - 2.0 * gram, 0.0
@@ -164,7 +166,7 @@ def _dtw_rowscan_kernel(
         return row, out
 
     init = (jnp.full((PB, S), INF), jnp.full((PB, 1), INF))
-    _, out = jax.lax.fori_loop(0, S, row_body, init)
+    _, out = jax.lax.fori_loop(0, R, row_body, init)
     out_ref[:] = out
 
 
@@ -192,12 +194,19 @@ def dtw_batch_pallas(
     pair_block: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Drop-in for ops.dtw.dtw_batch on the Pallas fast path.  Returns [B]."""
-    B, S, d = a.shape
+    """Drop-in for ops.dtw.dtw_batch on the Pallas fast path.  Returns [B].
+
+    `a` may be padded shorter than `b` ([B, R, d] vs [B, S, d], R <= S):
+    the kernel's sequential row loop runs only R steps, so orienting every
+    pair shorter-first (DTW is symmetric) cuts the dominant latency.  All
+    len_a must be <= R.
+    """
+    B, R, d = a.shape
+    S = b.shape[1]
+    if R > S:
+        raise ValueError("pass the shorter sequence first (R <= S)")
     if pair_block is None:
         pair_block = default_pair_block(S)
-    if b.shape[1] != S:
-        raise ValueError("pallas path requires equal padded lengths")
     if S > MAX_KERNEL_SEQ_LEN:
         raise ValueError(
             f"padded length {S} > {MAX_KERNEL_SEQ_LEN}; use ops.dtw.dtw_batch"
@@ -205,19 +214,20 @@ def dtw_batch_pallas(
     PB = pair_block
     pad = (-B) % PB
     if pad:
-        a = jnp.concatenate([a, jnp.zeros((pad, S, d), a.dtype)])
+        a = jnp.concatenate([a, jnp.zeros((pad, R, d), a.dtype)])
         b = jnp.concatenate([b, jnp.zeros((pad, S, d), b.dtype)])
         len_a = jnp.concatenate([len_a, jnp.ones((pad,), len_a.dtype)])
         len_b = jnp.concatenate([len_b, jnp.ones((pad,), len_b.dtype)])
     Bp = B + pad
 
-    at = jnp.transpose(a.astype(jnp.float32), (0, 2, 1))   # [B, d, S] time-minor
+    at = jnp.transpose(a.astype(jnp.float32), (0, 2, 1))   # [B, d, R] time-minor
     bt = jnp.transpose(b.astype(jnp.float32), (0, 2, 1))
     la2 = len_a.astype(jnp.int32)[:, None]
     lb2 = len_b.astype(jnp.int32)[:, None]
 
     kernel = partial(
         _dtw_rowscan_kernel,
+        rows=R,
         seq_len=S,
         band=band,
         auto_widen=auto_widen,
@@ -237,18 +247,18 @@ def dtw_batch_pallas(
         grid=grid,
         compiler_params=compiler_params,
         in_specs=[
-            pl.BlockSpec((PB, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, d, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((PB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((PB, S, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((PB, R, S), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * S * S * d + 12 * Bp * S * S * int(np.log2(max(S, 2))),
-            bytes_accessed=2 * Bp * S * d * 4 + Bp * 4,
-            transcendentals=Bp * S * S if metric == "euclidean" else 0,
+            flops=2 * Bp * R * S * d + 12 * Bp * R * S * int(np.log2(max(S, 2))),
+            bytes_accessed=Bp * (R + S) * d * 4 + Bp * 4,
+            transcendentals=Bp * R * S if metric == "euclidean" else 0,
         ),
         interpret=interpret,
     )(at, bt, la2, lb2)

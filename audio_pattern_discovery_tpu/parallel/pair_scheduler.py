@@ -62,24 +62,36 @@ def enumerate_pair_blocks(
     bucket_step: int,
     max_len: int,
 ):
-    """Yield (bucket_len, ii, jj) blocks covering the upper triangle.
+    """Yield (row_cap, bucket_len, ii, jj) blocks covering the upper triangle.
 
-    Deterministic order: buckets ascending, pairs in lexicographic (i, j).
+    DTW is symmetric, so every pair is oriented shorter-first (ii = shorter
+    sequence): the kernel's sequential row loop then runs only row_cap
+    steps.  Pairs are bucketed by the longer side's padded length (the lane
+    width) and sub-sorted by the shorter side's, so blocks get tight static
+    row capacities.  Deterministic order: (bucket, row bucket) ascending,
+    pairs in lexicographic (i, j).
     """
     K = len(lengths)
     buckets = bucket_lengths(lengths, bucket_step, max_len)
     iu, ju = np.triu_indices(K, k=1)
-    pair_bucket = np.maximum(buckets[iu], buckets[ju])
-    for b in np.unique(pair_bucket):
-        mask = pair_bucket == b
-        ii, jj = iu[mask], ju[mask]
-        for s in range(0, len(ii), pair_batch):
-            yield int(b), ii[s : s + pair_batch], jj[s : s + pair_batch]
+    swap = lengths[iu] > lengths[ju]
+    ii_all = np.where(swap, ju, iu).astype(np.int64)   # shorter
+    jj_all = np.where(swap, iu, ju).astype(np.int64)   # longer
+    lo_bucket = buckets[ii_all]
+    hi_bucket = buckets[jj_all]
+    for b in np.unique(hi_bucket):
+        mask = hi_bucket == b
+        for rb in np.unique(lo_bucket[mask]):
+            sub = mask & (lo_bucket == rb)
+            ii, jj = ii_all[sub], jj_all[sub]
+            for s in range(0, len(ii), pair_batch):
+                yield int(rb), int(b), ii[s : s + pair_batch], jj[s : s + pair_batch]
 
 
 @partial(
     jax.jit,
     static_argnames=(
+        "row_cap",
         "bucket",
         "metric",
         "band",
@@ -92,9 +104,10 @@ def enumerate_pair_blocks(
 def _dtw_block(
     features: jax.Array,      # [K, L, d] device-resident
     lengths: jax.Array,       # [K]
-    ii: jax.Array,            # [B]
-    jj: jax.Array,            # [B]
+    ii: jax.Array,            # [B] (shorter sequence of each pair)
+    jj: jax.Array,            # [B] (longer sequence)
     *,
+    row_cap: int,
     bucket: int,
     metric: str,
     band: int | None,
@@ -103,7 +116,9 @@ def _dtw_block(
     matmul_dtype: str | None,
     use_pallas: bool,
 ) -> jax.Array:
-    a = features[ii, :bucket]
+    # Pairs arrive shorter-first; the kernel's sequential row loop runs only
+    # row_cap (<= bucket) steps, the main latency saving of the orientation.
+    a = features[ii, :row_cap]
     b = features[jj, :bucket]
     la = lengths[ii]
     lb = lengths[jj]
@@ -122,10 +137,9 @@ def _dtw_block(
         # Over-long bucket: the blocked wavefront keeps memory at boundary
         # vectors instead of the scan path's [B, S, S] HBM cost tensor.
         blk, padded = _long_block_shape(bucket)
+        a = jnp.pad(a, ((0, 0), (0, padded - row_cap), (0, 0)))
         if padded > bucket:
-            pad = padded - bucket
-            a = jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
-            b = jnp.pad(b, ((0, 0), (0, pad), (0, 0)))
+            b = jnp.pad(b, ((0, 0), (0, padded - bucket), (0, 0)))
         return dtw_long_batch(
             a,
             b,
@@ -238,7 +252,7 @@ def all_pairs_distances(
     n_all_pairs = K * (K - 1) // 2
     B = int(min(cfg.pair_batch, max(8, -(-n_all_pairs // 8) * 8)))
     blocks = list(enumerate_pair_blocks(lengths, B, step, L))
-    total_pairs = sum(len(ii) for _, ii, _ in blocks)
+    total_pairs = sum(len(ii) for _, _, ii, _ in blocks)
     done_pairs = 0
 
     # In-flight results for pipelining: keep a sliding window of dispatched
@@ -267,7 +281,7 @@ def all_pairs_distances(
         while pending:
             collect_one()
 
-    for bi, (bucket, ii, jj) in enumerate(blocks):
+    for bi, (row_cap, bucket, ii, jj) in enumerate(blocks):
         path = None
         if block_dir is not None:
             path = block_dir / (_block_key(ii, jj, cfg_tag) + ".npz")
@@ -295,7 +309,8 @@ def all_pairs_distances(
         )
         di = bi % len(devices)
 
-        def dispatch(di=di, ii_pad=ii_pad, jj_pad=jj_pad, bucket=bucket, use_pallas=use_pallas):
+        def dispatch(di=di, ii_pad=ii_pad, jj_pad=jj_pad, row_cap=row_cap,
+                     bucket=bucket, use_pallas=use_pallas):
             # Index vectors ride along with the jitted call (one transfer
             # fused into the dispatch — no separate eager device_puts).
             return _dtw_block(
@@ -303,6 +318,7 @@ def all_pairs_distances(
                 lens_dev[di],
                 ii_pad,
                 jj_pad,
+                row_cap=row_cap,
                 bucket=bucket,
                 metric=cfg.metric,
                 band=cfg.band,

@@ -27,13 +27,18 @@ def test_bucket_lengths():
 def test_blocks_cover_upper_triangle(rng):
     _, lengths = _features(rng, K=17)
     seen = set()
-    for bucket, ii, jj in enumerate_pair_blocks(lengths, pair_batch=7, bucket_step=16, max_len=64):
-        assert bucket <= 64
+    for row_cap, bucket, ii, jj in enumerate_pair_blocks(
+        lengths, pair_batch=7, bucket_step=16, max_len=64
+    ):
+        assert row_cap <= bucket <= 64
         for i, j in zip(ii, jj):
-            assert i < j
-            assert max(lengths[i], lengths[j]) <= bucket
-            assert (i, j) not in seen
-            seen.add((int(i), int(j)))
+            # Pairs are oriented shorter-first; canonicalize for coverage.
+            assert lengths[i] <= lengths[j]
+            assert lengths[i] <= row_cap
+            assert lengths[j] <= bucket
+            key = (min(int(i), int(j)), max(int(i), int(j)))
+            assert key not in seen
+            seen.add(key)
     assert len(seen) == 17 * 16 // 2
 
 
