@@ -237,6 +237,16 @@ def load_wavs_batch(
     sizes = np.array([Path(p).stat().st_size for p in paths], np.int64)
     n_samples = np.minimum(n_samples, np.maximum(sizes - 44, 0) // 2)
     stride = int(n_samples.max())
+    # The batch pads every clip to the longest one; a very ragged corpus
+    # (hours-long recording + many short clips) would allocate mostly
+    # padding.  Bail to the per-file Python path when padding dominates or
+    # the allocation is large.
+    padded_bytes = 4 * len(paths) * stride
+    real_bytes = 4 * int(n_samples.sum())
+    if stride > 2**31 - 1 or (
+        padded_bytes > 1 << 30 and padded_bytes > 4 * real_bytes
+    ):
+        return None
     if stride <= 0:
         return None
     out = np.zeros((len(paths), stride), dtype=np.float32)

@@ -38,39 +38,15 @@ def _block_cost(
     metric: str,
     matmul_dtype=None,
 ) -> jax.Array:
-    """[BLK, BLK] frame-cost tile on the MXU."""
-    if metric not in ("euclidean", "sqeuclidean", "cosine"):
-        raise ValueError(f"unknown metric {metric!r}")
-    if metric == "cosine":
-        a_blk = a_blk / jnp.maximum(
-            jnp.linalg.norm(a_blk, axis=-1, keepdims=True), 1e-12
-        )
-        b_blk = b_blk / jnp.maximum(
-            jnp.linalg.norm(b_blk, axis=-1, keepdims=True), 1e-12
-        )
-    am, bm = a_blk, b_blk
-    precision = jax.lax.Precision.HIGHEST
-    if matmul_dtype is not None:
-        # bf16 storage, f32 MXU accumulation — the TPU precision recipe
-        # (matches ops.dtw.pairwise_cost).
-        am, bm = a_blk.astype(matmul_dtype), b_blk.astype(matmul_dtype)
-        precision = jax.lax.Precision.DEFAULT
-    gram = jax.lax.dot_general(
-        am,
-        bm,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    if metric == "cosine":
-        return 1.0 - gram
-    sq = jnp.maximum(
-        jnp.sum(a_blk * a_blk, -1)[:, None]
-        + jnp.sum(b_blk * b_blk, -1)[None, :]
-        - 2.0 * gram,
-        0.0,
-    )
-    return jnp.sqrt(sq) if metric == "euclidean" else sq
+    """[BLK, BLK] frame-cost tile on the MXU.
+
+    Delegates to ops.dtw.pairwise_cost so the numerics policy (metric
+    validation, cosine normalization, the Gram trick and its
+    cancellation-guarding precision recipe) lives in exactly one place.
+    """
+    from audio_pattern_discovery_tpu.ops.dtw import pairwise_cost
+
+    return pairwise_cost(a_blk[None], b_blk[None], metric, matmul_dtype)[0]
 
 
 def _minplus_row_scan(e: jax.Array, c: jax.Array, x_init: jax.Array) -> jax.Array:

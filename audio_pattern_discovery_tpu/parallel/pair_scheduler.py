@@ -249,9 +249,21 @@ def all_pairs_distances(
 
     # Effective batch: don't pad a tiny workload up to the configured TPU
     # batch — round the corpus's own pair count to a lane-friendly multiple.
+    # The non-Pallas scan path materializes [B, S, S] cost tensors, so cap
+    # the batch off-TPU where the default was tuned for the VMEM kernel.
     n_all_pairs = K * (K - 1) // 2
     B = int(min(cfg.pair_batch, max(8, -(-n_all_pairs // 8) * 8)))
-    blocks = list(enumerate_pair_blocks(lengths, B, step, L))
+    if not _on_tpu():
+        B = min(B, 1024)
+    blocks = []
+    for row_cap, bucket, ii, jj in enumerate_pair_blocks(lengths, B, step, L):
+        if bucket > MAX_KERNEL_SEQ_LEN and len(ii) > 512:
+            # The blocked long path holds [B, nB, blk, blk] cost tiles per
+            # diagonal step; keep its batches small enough for HBM.
+            for s in range(0, len(ii), 512):
+                blocks.append((row_cap, bucket, ii[s : s + 512], jj[s : s + 512]))
+        else:
+            blocks.append((row_cap, bucket, ii, jj))
     total_pairs = sum(len(ii) for _, _, ii, _ in blocks)
     done_pairs = 0
 
@@ -295,10 +307,14 @@ def all_pairs_distances(
                     progress(done_pairs, total_pairs)
                 continue
 
-        # Pad the final partial block to the fixed batch size (extra entries
-        # are self-pairs of index 0; discarded on collection).
-        ii_pad = np.zeros(B, dtype=np.int32)
-        jj_pad = np.zeros(B, dtype=np.int32)
+        # Pad partial blocks to the next power of two (not the full batch:
+        # length-diverse corpora produce many (bucket, row) combos whose
+        # tails would otherwise each dispatch pair_batch of mostly-padding
+        # work).  Pad entries are self-pairs of index 0; discarded on
+        # collection.
+        B_blk = min(B, max(8, 1 << (len(ii) - 1).bit_length()))
+        ii_pad = np.zeros(B_blk, dtype=np.int32)
+        jj_pad = np.zeros(B_blk, dtype=np.int32)
         ii_pad[: len(ii)] = ii
         jj_pad[: len(jj)] = jj
 

@@ -257,7 +257,13 @@ def discover(
         seg_frames, seg_lengths = extract_segment_features(
             specs_any, segments, cfg.dtw.max_seq_len
         )
-        seg_frames_dev = jnp.asarray(seg_frames)
+        # Only the AE encode consumes the device copy; don't upload it
+        # (or keep it resident through DTW) in raw-feature mode.
+        seg_frames_dev = (
+            jnp.asarray(seg_frames) if cfg.autoencoder.enabled else None
+        )
+    if not cfg.autoencoder.enabled:
+        seg_frames_dev = None
     # The resident corpus is not needed past the segment gather; free the
     # HBM before the AE/DTW stages (the real HBM consumers).
     del specs_any
@@ -302,7 +308,7 @@ def discover(
             # Standardize on device from the resident segment tensor — no
             # re-upload of [K, L, bins] (transform works on jax arrays).
             features = encode_frames(model, state.params, scaler.transform(seg_frames_dev))
-        del seg_frames_dev
+        seg_frames_dev = None
     else:
         features = seg_frames
     counters.add("feature_dim", features.shape[-1])

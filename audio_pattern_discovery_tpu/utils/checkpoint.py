@@ -82,15 +82,18 @@ def restore_ae_checkpoint(
         },
     }
     ckptr = ocp.StandardCheckpointer()
+    # Ask the checkpoint itself whether a scaler was saved (robust to orbax
+    # error-message wording changes); fall back to the exception heuristic
+    # only if the metadata API is unavailable.
     try:
+        saved_keys = set(ckptr.metadata(path).item_metadata.keys())
+        if "scaler" not in saved_keys:
+            target.pop("scaler")
         tree = ckptr.restore(path, target)
     except ValueError as e:
-        # Saved without a scaler: orbax reports a tree-structure mismatch
-        # naming the extra key.  Anything else (shape/dtype mismatch, IO
-        # corruption) must propagate.
         if "scaler" not in str(e) or "do not match" not in str(e):
             raise
-        target.pop("scaler")
+        target.pop("scaler", None)
         tree = ckptr.restore(path, target)
     state = TrainState(tree["params"], tree["opt_state"], int(tree["step"]))
     scaler = None

@@ -142,8 +142,8 @@ def test_block_retry_exhausted_raises(rng, monkeypatch):
 
 def test_overlong_bucket_routes_to_blocked_path(rng):
     """Buckets beyond the Pallas VMEM ceiling use the blocked long-DTW."""
-    K, L = 5, 576  # > MAX_KERNEL_SEQ_LEN = 512
-    lengths = rng.integers(520, L + 1, K).astype(np.int32)
+    K, L = 5, 1088  # > MAX_KERNEL_SEQ_LEN = 1024
+    lengths = rng.integers(1040, L + 1, K).astype(np.int32)
     feats = rng.normal(0, 1, (K, L, 3)).astype(np.float32)
     cfg = DTWConfig(pair_batch=4, max_seq_len=L, band=24, use_pallas=False,
                     length_bucketing=False)
@@ -158,14 +158,14 @@ def test_overlong_bucket_routes_to_blocked_path(rng):
 
 
 def test_overlong_odd_bucket_pads_to_healthy_block(rng):
-    """An odd over-long bucket (601) must not degrade to 1-element blocks."""
+    """An odd over-long bucket (1101) must not degrade to 1-element blocks."""
     from audio_pattern_discovery_tpu.parallel.pair_scheduler import _long_block_shape
 
-    blk, padded = _long_block_shape(601)
-    assert blk >= 128 and padded % blk == 0 and padded >= 601
+    blk, padded = _long_block_shape(1101)
+    assert blk >= 128 and padded % blk == 0 and padded >= 1101
 
-    K, L = 4, 601
-    lengths = rng.integers(540, L + 1, K).astype(np.int32)
+    K, L = 4, 1101
+    lengths = rng.integers(1040, L + 1, K).astype(np.int32)
     feats = rng.normal(0, 1, (K, L, 3)).astype(np.float32)
     cfg = DTWConfig(pair_batch=4, max_seq_len=L, band=24, use_pallas=False,
                     length_bucketing=False)
