@@ -81,11 +81,24 @@ def enumerate_pair_blocks(
     hi_bucket = buckets[jj_all]
     for b in np.unique(hi_bucket):
         mask = hi_bucket == b
-        for rb in np.unique(lo_bucket[mask]):
-            sub = mask & (lo_bucket == rb)
+        # At most TWO row capacities per column bucket (full and half):
+        # every distinct (row, col) shape is a fresh XLA compile — minutes
+        # on a remote backend — so finer row buckets cost more in compiles
+        # than their extra row savings return.
+        half = min(int(b), max(bucket_step, -(-(int(b) // 2) // bucket_step) * bucket_step))
+        if half < int(b):
+            groups = [
+                (half, mask & (lo_bucket <= half)),
+                (int(b), mask & (lo_bucket > half)),
+            ]
+        else:
+            groups = [(int(b), mask)]
+        for rb, sub in groups:
+            if not sub.any():
+                continue
             ii, jj = ii_all[sub], jj_all[sub]
             for s in range(0, len(ii), pair_batch):
-                yield int(rb), int(b), ii[s : s + pair_batch], jj[s : s + pair_batch]
+                yield rb, int(b), ii[s : s + pair_batch], jj[s : s + pair_batch]
 
 
 @partial(
