@@ -47,6 +47,15 @@ def nn_chain_linkage(dist: np.ndarray, method: str = "average") -> np.ndarray:
             row[x] = np.inf
             y = int(np.argmin(row))          # lowest index wins ties
             dxy = row[y]
+            if not (dxy < np.inf):
+                # Every remaining distance from x is +inf (e.g. banded DTW
+                # with infeasible pairs): argmin on an all-inf row returns
+                # index 0, which may be x itself or a DEACTIVATED cluster and
+                # would corrupt Z with self-merge rows.  Mirror the C++
+                # apd_nn_chain fallback: first ACTIVE partner != x, height
+                # recorded as +inf.
+                y = int(np.flatnonzero(active & (np.arange(K) != x))[0])
+                dxy = np.inf
             if len(chain) > 1 and D[x, chain[-2]] == dxy:
                 y = chain[-2]                # prefer closing the chain on ties
             if len(chain) > 1 and y == chain[-2]:

@@ -178,11 +178,14 @@ def _dtw_block(
     )
 
 
-def _with_retries(fn: Callable, max_retries: int):
-    """Re-run `fn` up to max_retries times; caller has already seen one
-    failure, so max_retries < 1 re-raises immediately."""
+def _with_retries(fn: Callable, max_retries: int, pending_exc: BaseException):
+    """Re-run `fn` up to max_retries times after an initial failure.
+
+    `pending_exc` is the exception that triggered the retry; it is raised
+    directly when max_retries < 1 (no bare `raise`, so the helper works
+    outside an `except` block) and chained from the final retry failure."""
     if max_retries < 1:
-        raise
+        raise pending_exc
     for attempt in range(max_retries):
         try:
             return fn()
@@ -290,9 +293,9 @@ def all_pairs_distances(
         ii, jj, dispatch, fut, path = pending.pop(0)
         try:
             vals = np.asarray(fut)[: len(ii)]
-        except Exception:
+        except Exception as exc:
             vals = _with_retries(
-                lambda: np.asarray(dispatch())[: len(ii)], max_retries
+                lambda: np.asarray(dispatch())[: len(ii)], max_retries, exc
             )
         D[ii, jj] = vals
         D[jj, ii] = vals
@@ -360,8 +363,8 @@ def all_pairs_distances(
 
         try:
             fut = dispatch()
-        except Exception:
-            fut = _with_retries(dispatch, max_retries)
+        except Exception as exc:
+            fut = _with_retries(dispatch, max_retries, exc)
         pending.append((ii, jj, dispatch, fut, path))
         if len(pending) >= 4 * len(devices):
             collect_one()

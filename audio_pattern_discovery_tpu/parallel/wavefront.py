@@ -162,6 +162,12 @@ def dtw_wavefront_sharded(
                 jnp.where((Is_c == 0)[None, :], 0.0, INF),
                 corner,
             )
+            # Block-row 0 has no top-left neighbor for any col > 0: without
+            # this mask, slot 0 of a stripe consumes edge_last_prev — the
+            # halo of an INACTIVE neighbor block computed from a stale
+            # V[:, 0] left boundary — and the distance skips a whole
+            # block-column of costs whenever a stripe holds >= 3 columns.
+            corner = jnp.where(((Is_c == 0) & (Js != 0))[None, :], INF, corner)
 
             bottom, right, hit_val, has_hit = batch_block(
                 a_rep, b_sh, top, left, corner, Is_c, Jls, la_, lb_, bw_, J0

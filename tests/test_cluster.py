@@ -5,6 +5,7 @@ from scipy.cluster.hierarchy import fcluster
 from audio_pattern_discovery_tpu.cluster.agglomerative import (
     cut_linkage,
     linkage,
+    nn_chain_linkage,
 )
 from audio_pattern_discovery_tpu.oracle.cluster import cut_oracle, linkage_oracle
 
@@ -72,3 +73,34 @@ def test_trivial_sizes():
     Z = linkage(np.array([[0.0, 2.0], [2.0, 0.0]]), "single")
     assert Z.shape == (1, 4)
     assert Z[0, 2] == 2.0
+
+
+@pytest.mark.parametrize("method", ["single", "complete", "average", "weighted"])
+def test_inf_rows_no_self_merge(rng, method):
+    """Disconnected components (+inf cross-distances, as banded DTW with
+    auto_widen_band=False produces) must not corrupt Z: every row merges two
+    DISTINCT clusters, infeasible merges are recorded at height +inf, and the
+    Python path stays bit-compatible with the C++ apd_nn_chain fallback."""
+    K = 12
+    d = _random_dist(rng, K)
+    d[:6, 6:] = np.inf  # two 6-node components, no finite bridge
+    d[6:, :6] = np.inf
+
+    with np.errstate(invalid="raise"):  # inf*0 NaN in Lance-Williams = fail
+        Z = nn_chain_linkage(d, method)
+    assert Z.shape == (K - 1, 4)
+    assert np.all(Z[:, 0] != Z[:, 1]), "self-merge row"
+    assert not np.any(np.isnan(Z)), "NaN in linkage"
+    # Exactly one merge bridges the components; it must carry height +inf.
+    assert np.sum(np.isinf(Z[:, 2])) == 1
+
+    from audio_pattern_discovery_tpu import native
+
+    if native.available():
+        from audio_pattern_discovery_tpu.cluster.agglomerative import (
+            _sort_and_relabel,
+        )
+
+        Z_cpp = _sort_and_relabel(native.nn_chain_cpp(d, method), K)
+        np.testing.assert_array_equal(Z[:, :2], Z_cpp[:, :2])
+        np.testing.assert_array_equal(Z[:, 2], Z_cpp[:, 2])

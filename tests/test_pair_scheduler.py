@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from audio_pattern_discovery_tpu.config import DTWConfig
 from audio_pattern_discovery_tpu.oracle.dtw import dtw_oracle
@@ -187,3 +188,37 @@ def test_block_checkpoint_invalidated_by_config_change(rng, tmp_path):
     assert not np.allclose(D1, D2), "config change must invalidate blocks"
     D2_fresh = all_pairs_distances(feats, lengths, cfg2)
     np.testing.assert_allclose(D2, D2_fresh, rtol=1e-6)
+
+
+def test_with_retries_success_after_retry():
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import _with_retries
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert _with_retries(flaky, 3, RuntimeError("initial")) == "ok"
+    assert calls["n"] == 2
+
+
+def test_with_retries_exhaustion_raises_last():
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import _with_retries
+
+    def always_fail():
+        raise RuntimeError("persistent")
+
+    with pytest.raises(RuntimeError, match="persistent"):
+        _with_retries(always_fail, 2, RuntimeError("initial"))
+
+
+def test_with_retries_zero_budget_raises_pending():
+    """max_retries < 1 must raise the PENDING exception (not a bare
+    `raise`, which outside an except block is a RuntimeError itself)."""
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import _with_retries
+
+    with pytest.raises(ValueError, match="the original failure"):
+        _with_retries(lambda: "never called", 0, ValueError("the original failure"))

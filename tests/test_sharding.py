@@ -109,8 +109,14 @@ def test_sharded_batch_is_actually_distributed(rng):
     assert len(devs) == 8
 
 
-def test_wavefront_sharded_matches_single_device(rng):
-    """One long pair decomposed across 8 devices == single-device blocked DTW."""
+@pytest.mark.parametrize("S", [64, 128, 192])
+def test_wavefront_sharded_matches_single_device(rng, S):
+    """One long pair decomposed across 8 devices == single-device blocked DTW.
+
+    S=64/128/192 with block=8 on 8 devices gives 1/2/3 block-columns per
+    stripe — the nJl>=3 regime is where the block-row-0 corner mask
+    matters (a stripe's slot 0 must not consume a stale neighbor halo).
+    """
     from jax.sharding import Mesh
 
     from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
@@ -119,7 +125,7 @@ def test_wavefront_sharded_matches_single_device(rng):
         shard_b_for_wavefront,
     )
 
-    B, S, d = 2, 64, 4
+    B, d = 2, 4
     a = rng.normal(0, 1, (B, S, d)).astype(np.float32)
     b = rng.normal(0, 1, (B, S, d)).astype(np.float32)
     la = rng.integers(S // 2, S + 1, B).astype(np.int32)
@@ -140,7 +146,8 @@ def test_wavefront_sharded_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_wavefront_sharded_banded(rng):
+@pytest.mark.parametrize("S", [64, 192])
+def test_wavefront_sharded_banded(rng, S):
     from jax.sharding import Mesh
 
     from audio_pattern_discovery_tpu.oracle.dtw import dtw_oracle
@@ -149,7 +156,7 @@ def test_wavefront_sharded_banded(rng):
         shard_b_for_wavefront,
     )
 
-    B, S, d = 2, 64, 4
+    B, d = 2, 4
     a = rng.normal(0, 1, (B, S, d)).astype(np.float32)
     b = rng.normal(0, 1, (B, S, d)).astype(np.float32)
     la = np.full(B, S, np.int32)
