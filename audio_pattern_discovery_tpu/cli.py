@@ -33,7 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native discovery of recurring audio patterns: "
         "directory of WAVs in, pattern clusters + DTW alignments out.",
     )
-    p.add_argument("wav_dir", type=Path, help="directory of input WAV files")
+    # nargs="?" so `--dump-config` works standalone; a missing wav_dir for a
+    # real run is rejected in main().
+    p.add_argument(
+        "wav_dir", type=Path, nargs="?", help="directory of input WAV files"
+    )
     p.add_argument("-o", "--out-dir", type=Path, default=Path("apd_out"))
     p.add_argument("-c", "--config", type=Path, help="JSON config file")
     p.add_argument(
@@ -65,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_config:
         print(json.dumps(cfg.to_dict(), indent=2))
         return 0
+    if args.wav_dir is None:
+        build_parser().error("wav_dir is required (unless --dump-config)")
     try:
         cfg.validate()
     except ValueError as e:

@@ -136,6 +136,48 @@ def linkage(
     return nn_chain_linkage(dist, method)
 
 
+def auto_cut_threshold(
+    Z: np.ndarray,
+    *,
+    quantile: float = 0.9,
+    min_rel_gap: float = 1.25,
+) -> float:
+    """Scale-aware data-driven dendrogram cut (no threshold configured).
+
+    Primary rule: cut at the FIRST relative gap >= `min_rel_gap` between
+    consecutive merge heights in the dendrogram's upper half.  With
+    planted/recurring motifs, within-cluster merges grow smoothly and the
+    first big jump marks the within->between transition; the gap position
+    tracks the true cluster count at any corpus size (tested 50..2000
+    segments), unlike a fixed quantile whose implied cluster count scales
+    with K.  First-over-threshold, not largest: between-cluster merges are
+    often unevenly separated (measured on the verify corpus: jumps of 1.39x
+    then 2.22x — the largest-gap rule cut above BOTH and fused two motifs).
+    Restricting to the upper half keeps noise gaps among the earliest merges
+    from capturing the cut.
+
+    Fallback: when no gap reaches `min_rel_gap` (no separation structure —
+    e.g. pure noise or one homogeneous cluster), fall back to the quantile
+    rule capped so the final 3 merges never auto-apply (round-1 behavior).
+    """
+    h = np.asarray(Z[:, 2], dtype=np.float64)
+    h = h[np.isfinite(h)]  # +inf merges (infeasible banded pairs) never cut
+    n = len(h)
+    if n == 0:
+        return 0.0
+    if n <= 4:
+        return float(np.median(h))
+    lo = n // 2
+    tiny = max(h[-1], 1.0) * 1e-12
+    ratios = h[lo + 1 :] / np.maximum(h[lo:-1], tiny)
+    over = np.flatnonzero(ratios >= min_rel_gap)
+    if len(over):
+        i = int(over[0]) + lo
+        return float(0.5 * (h[i] + h[i + 1]))
+    q = min(quantile, 1.0 - 3.0 / n)
+    return float(np.quantile(h, q))
+
+
 def cut_linkage(
     Z: np.ndarray,
     K: int,

@@ -35,10 +35,15 @@ class SpectrogramConfig:
     normalize_signal: bool = True   # peak-normalize each clip to [-1, 1]
     # Optional dimensionality cap on frequency bins (keep lowest `max_bins`).
     max_bins: int | None = None
-    # "matmul" computes the real DFT as two MXU matmuls (TPUs have no FFT
+    # "matmul" computes the real DFT as an MXU matmul (TPUs have no FFT
     # unit; XLA's rfft lowers to a slow generic custom call); "rfft" keeps
     # the library FFT.  Equal within float tolerance (tested).
     fft_impl: str = "matmul"
+    # MXU pass count for the DFT matmul: "high" (3-pass bf16, ~1e-5 relative
+    # error, the default), "highest" (6-pass, reference-exact), "default"
+    # (1-pass bf16, ~1e-2 — fastest, fine for exploratory runs).  The DFT is
+    # the spectrogram stage's FLOP hot spot, so this is its throughput knob.
+    fft_precision: str = "high"
     # Streaming tile shape for corpus extraction: [clip_batch, chunk_frames]
     # device tiles give ONE compiled program for any corpus and bound device
     # memory for hours-long recordings (BASELINE config 5; SS8 P1).
@@ -128,11 +133,18 @@ class ClusterConfig:
     # Exactly one of the two cut criteria applies; threshold wins if both set.
     distance_threshold: float | None = None
     n_clusters: int | None = None
-    # Default data-driven cut when neither is set: the dendrogram is cut at
-    # this quantile of merge heights.  Swept against planted-motif ground
-    # truth: 0.5 over-fragments (pairwise F1 0.21), 0.9 keeps purity 1.0 at
-    # F1 0.90 on the 100-clip benchmark corpus.
+    # Default data-driven cut when neither is set: "gap" cuts at the largest
+    # relative jump between consecutive merge heights in the dendrogram's
+    # upper half (scale-aware: tracks the true cluster count from 50 to
+    # 2000+ segments, tested vs planted truth), falling back to the quantile
+    # rule when no jump reaches auto_cut_min_rel_gap; "quantile" always uses
+    # the quantile rule (round-1 behavior).
+    auto_cut: str = "gap"
+    # Quantile fallback: swept against planted-motif ground truth: 0.5
+    # over-fragments (pairwise F1 0.21), 0.9 keeps purity 1.0 at F1 0.90 on
+    # the 100-clip benchmark corpus.
     auto_cut_quantile: float = 0.9
+    auto_cut_min_rel_gap: float = 1.25
     min_cluster_size: int = 2       # singleton clusters are noise, dropped
     use_native: bool = True         # C++ NN-chain when available
 
@@ -194,9 +206,18 @@ class PipelineConfig:
         )
         check(sp.window in ("hann", "hamming", "rect"), f"spectrogram.window={sp.window!r}")
         check(sp.fft_impl in ("matmul", "rfft"), f"spectrogram.fft_impl={sp.fft_impl!r}")
+        check(
+            sp.fft_precision in ("default", "high", "highest"),
+            f"spectrogram.fft_precision={sp.fft_precision!r}",
+        )
         check(sp.clip_batch > 0, "spectrogram.clip_batch must be > 0")
         check(sp.chunk_frames > 0, "spectrogram.chunk_frames must be > 0")
         check(dt.band is None or dt.band >= 0, f"dtw.band={dt.band} must be >= 0 or null")
+        check(cl.auto_cut in ("gap", "quantile"), f"cluster.auto_cut={cl.auto_cut!r}")
+        check(
+            cl.auto_cut_min_rel_gap > 1.0,
+            f"cluster.auto_cut_min_rel_gap={cl.auto_cut_min_rel_gap} must be > 1",
+        )
         check(dt.pair_batch > 0, "dtw.pair_batch must be > 0")
         check(dt.max_seq_len > 0, "dtw.max_seq_len must be > 0")
         check(

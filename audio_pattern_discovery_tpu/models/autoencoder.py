@@ -100,10 +100,19 @@ def create_model(cfg: AutoencoderConfig, input_dim: int) -> AutoEncoder:
 
 
 def init_state(
-    cfg: AutoencoderConfig, input_dim: int, rng: jax.Array
+    cfg: AutoencoderConfig,
+    input_dim: int,
+    rng: jax.Array,
+    param_shardings=None,
 ) -> tuple[AutoEncoder, TrainState, optax.GradientTransformation]:
+    """`param_shardings`: optional callable params -> NamedSharding pytree
+    (parallel.mesh.ae_param_sharding) placing params in a TP layout BEFORE
+    tx.init, so the optimizer state inherits the same layout and the jitted
+    epoch scan carries it (XLA keeps hidden activations sharded)."""
     model = create_model(cfg, input_dim)
     params = model.init(rng, jnp.zeros((1, input_dim), jnp.float32))
+    if param_shardings is not None:
+        params = jax.device_put(params, param_shardings(params))
     tx = optax.adam(cfg.learning_rate)
     return model, TrainState(params, tx.init(params), 0), tx
 
@@ -171,17 +180,20 @@ def train_autoencoder(
     log_every: int = 5,
     logger=None,
     data_sharding=None,            # optional jax.sharding.NamedSharding for DP
+    param_shardings=None,          # optional callable params -> TP layout tree
 ) -> tuple[AutoEncoder, TrainState, list[float]]:
     """Train on spectrogram frames; returns (model, state, per-epoch losses).
 
     With `data_sharding`, each minibatch is placed sharded over the mesh's
     data axis — XLA turns the gradient reduction into an ICI all-reduce
-    (DP over chips, SURVEY.md SS3 row 9).
+    (DP over chips, SURVEY.md SS3 row 9).  With `param_shardings`
+    (parallel.mesh.ae_param_sharding), params train in a tensor-parallel
+    layout over the mesh's model axis (SS3 row 9).
     """
     n, dim = frames.shape
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
-    model, state, tx = init_state(cfg, dim, init_rng)
+    model, state, tx = init_state(cfg, dim, init_rng, param_shardings)
     train_epoch = make_train_epoch(model, tx, cfg.denoising_std, data_sharding)
 
     bs = min(cfg.batch_size, n)

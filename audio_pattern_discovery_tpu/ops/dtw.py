@@ -136,6 +136,16 @@ def dtw_batch(
     matmul_dtype: str | None = None,
 ) -> jax.Array:
     """All B DTW distances in one device dispatch.  Returns [B] float32."""
+    import chex
+
+    # Trace-time shape/dtype invariants (SURVEY.md SS6.2: chex assertions are
+    # the static half of the sanitizer tier; jax_debug_nans is the dynamic
+    # half, enabled suite-wide in tests/conftest.py).
+    chex.assert_rank([a, b], 3)
+    chex.assert_rank([len_a, len_b], 1)
+    chex.assert_equal_shape_prefix([a, len_a], 1)
+    chex.assert_equal_shape_prefix([b, len_b], 1)
+    chex.assert_axis_dimension(b, 2, a.shape[2])
     B, N, _ = a.shape
     M = b.shape[1]
     mm_dtype = jnp.bfloat16 if matmul_dtype == "bfloat16" else None

@@ -51,6 +51,7 @@ def num_frames(n_samples: int, win_length: int, hop_length: int) -> int:
         "log_floor",
         "max_bins",
         "fft_impl",
+        "fft_precision",
     ),
 )
 def batched_spectrogram(
@@ -66,6 +67,7 @@ def batched_spectrogram(
     log_floor: float = 1e-10,
     max_bins: int | None = None,
     fft_impl: str = "matmul",
+    fft_precision: str = "high",
 ) -> tuple[jax.Array, jax.Array]:
     """[B, N] padded signals -> ([B, F, bins] spectrograms, [B] frame counts).
 
@@ -73,6 +75,11 @@ def batched_spectrogram(
     count contain the log-floor (silence) and must be masked downstream via
     the returned frame counts.
     """
+    import chex
+
+    chex.assert_rank(signals, 2)          # SS6.2 static sanitizer tier
+    chex.assert_rank(lengths, 1)
+    chex.assert_equal_shape_prefix([signals, lengths], 1)
     B, N = signals.shape
     n_fft = n_fft or win_length
     F = num_frames(N, win_length, hop_length)
@@ -89,10 +96,14 @@ def batched_spectrogram(
     frames = frames * w                                        # fused elementwise
 
     if fft_impl == "matmul":
-        # Real DFT as two MXU matmuls (TPUs have no FFT unit; XLA lowers
-        # rfft to a slow generic custom call, while a [win, bins] DFT-matrix
-        # contraction rides the systolic array).  f32 x f32 with HIGHEST
-        # precision keeps it exact to the rfft path within float tolerance.
+        # Real DFT as ONE MXU matmul against a [win, 2*bins] packed
+        # [cos | sin] DFT matrix (TPUs have no FFT unit; XLA lowers rfft to
+        # a slow generic custom call, while the DFT-matrix contraction rides
+        # the systolic array).  MXU pass count is the throughput knob: the
+        # DFT dominates the spectrogram stage's FLOPs, and unlike the DTW
+        # Gram there is no catastrophic-cancellation structure here, so the
+        # 3-pass bf16 (HIGH) recipe holds ~1e-5 relative error — far inside
+        # every downstream tolerance — at half the cost of HIGHEST.
         bins = n_fft // 2 + 1
         # rfft semantics: zero-pad (n_fft > win) contributes nothing beyond
         # the first win rows; truncate (n_fft < win) drops the tail.
@@ -103,15 +114,19 @@ def batched_spectrogram(
             / n_fft
             * np.outer(np.arange(rows, dtype=np.float64), np.arange(bins))
         )
-        cos_m = jnp.asarray(np.cos(k).astype(np.float32))      # [rows, bins]
-        sin_m = jnp.asarray(np.sin(k).astype(np.float32))
-        fr = frames[..., :rows]
-        re = jnp.einsum(
-            "bfw,wk->bfk", fr, cos_m, precision=jax.lax.Precision.HIGHEST
+        cs_m = jnp.asarray(
+            np.concatenate([np.cos(k), np.sin(k)], axis=1).astype(np.float32)
+        )                                                      # [rows, 2*bins]
+        prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[fft_precision]
+        reim = jnp.einsum(
+            "bfw,wk->bfk", frames[..., :rows], cs_m, precision=prec
         )
-        im = jnp.einsum(
-            "bfw,wk->bfk", fr, sin_m, precision=jax.lax.Precision.HIGHEST
-        )
+        re = reim[..., :bins]
+        im = reim[..., bins:]
         p2 = jnp.maximum(re * re + im * im, 0.0)               # |X|^2, no sqrt
     else:
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)          # [B, F, n_fft//2+1]
@@ -156,6 +171,7 @@ def spectrogram_from_config(
         log_floor=cfg.log_floor,
         max_bins=cfg.max_bins,
         fft_impl=cfg.fft_impl,
+        fft_precision=cfg.fft_precision,
     )
 
 
@@ -171,6 +187,7 @@ def spectrogram_from_config(
         "log_floor",
         "max_bins",
         "fft_impl",
+        "fft_precision",
     ),
 )
 def _spectrogram_energy_tile(signals, lengths, scales=None, **kw):
@@ -308,6 +325,7 @@ def spectrogram_corpus(
                 log_floor=cfg.log_floor,
                 max_bins=cfg.max_bins,
                 fft_impl=cfg.fft_impl,
+                fft_precision=cfg.fft_precision,
             )
             if return_device:
                 # Invalid frames already hold the log floor (masked in the
@@ -317,7 +335,11 @@ def spectrogram_corpus(
                 pending.append((g0, len(group), c * CF, None, fc, en))
             else:
                 pending.append((g0, len(group), c * CF, out, fc, en))
-            if len(pending) >= 3:
+            # 6-deep: tile collection downloads ride the tunnel (tens of ms
+            # each); a deeper window keeps uploads/compute of later tiles
+            # overlapping them.  Bounded device memory: 6 tiles of
+            # [clip_batch, CF, bins] f32.
+            if len(pending) >= 6:
                 collect_one()
         if return_device:
             g = (

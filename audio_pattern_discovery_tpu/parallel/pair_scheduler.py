@@ -19,6 +19,7 @@ amortized away (SURVEY.md SS8 'the hard parts'):
 from __future__ import annotations
 
 import hashlib
+import time
 from functools import partial
 from pathlib import Path
 from typing import Callable
@@ -33,6 +34,8 @@ from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
 from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     MAX_KERNEL_SEQ_LEN,
     dtw_batch_pallas,
+    pallas_supported,
+    scan_len_diff_classes,
 )
 
 
@@ -61,14 +64,22 @@ def enumerate_pair_blocks(
     pair_batch: int,
     bucket_step: int,
     max_len: int,
+    band: int | None = None,
+    auto_widen: bool = True,
 ):
-    """Yield (row_cap, bucket_len, ii, jj) blocks covering the upper triangle.
+    """Yield (row_cap, bucket_len, max_len_diff, ii, jj) blocks covering the
+    upper triangle.
 
     DTW is symmetric, so every pair is oriented shorter-first (ii = shorter
     sequence): the kernel's sequential row loop then runs only row_cap
     steps.  Pairs are bucketed by the longer side's padded length (the lane
     width) and sub-sorted by the shorter side's, so blocks get tight static
-    row capacities.  Deterministic order: (bucket, row bucket) ascending,
+    row capacities.  Within each shape, pairs are further grouped by their
+    |len_i - len_j| scan-plan class (ops.dtw_pallas.scan_len_diff_classes):
+    the emitted `max_len_diff` is the class's canonical upper bound, so the
+    kernel's banded scan depth and seam-free fast path apply per group with
+    only a handful of distinct static values (compiles cost minutes on this
+    backend).  Deterministic order: (bucket, row bucket, class) ascending,
     pairs in lexicographic (i, j).
     """
     K = len(lengths)
@@ -93,12 +104,26 @@ def enumerate_pair_blocks(
             ]
         else:
             groups = [(int(b), mask)]
+        classes = scan_len_diff_classes(int(b), band, auto_widen)
         for rb, sub in groups:
             if not sub.any():
                 continue
             ii, jj = ii_all[sub], jj_all[sub]
-            for s in range(0, len(ii), pair_batch):
-                yield rb, int(b), ii[s : s + pair_batch], jj[s : s + pair_batch]
+            dd = (lengths[jj] - lengths[ii]).astype(np.int64)  # >= 0
+            cls = np.searchsorted(np.asarray(classes), dd)     # upper-incl.
+            for c, bound in enumerate(classes):
+                m = cls == c
+                if not m.any():
+                    continue
+                ic, jc = ii[m], jj[m]
+                for s in range(0, len(ic), pair_batch):
+                    yield (
+                        rb,
+                        int(b),
+                        int(bound),
+                        ic[s : s + pair_batch],
+                        jc[s : s + pair_batch],
+                    )
 
 
 @partial(
@@ -112,6 +137,7 @@ def enumerate_pair_blocks(
         "normalize",
         "matmul_dtype",
         "use_pallas",
+        "max_len_diff",
     ),
 )
 def _dtw_block(
@@ -128,6 +154,7 @@ def _dtw_block(
     normalize: str,
     matmul_dtype: str | None,
     use_pallas: bool,
+    max_len_diff: int | None = None,
 ) -> jax.Array:
     # Pairs arrive shorter-first; the kernel's sequential row loop runs only
     # row_cap (<= bucket) steps, the main latency saving of the orientation.
@@ -145,6 +172,7 @@ def _dtw_block(
             band=band,
             auto_widen=auto_widen,
             normalize=normalize,
+            max_len_diff=max_len_diff,
         )
     if bucket > MAX_KERNEL_SEQ_LEN:
         # Over-long bucket: the blocked wavefront keeps memory at boundary
@@ -232,6 +260,7 @@ def all_pairs_distances(
     devices: list | None = None,
     matmul_dtype: str | None = None,
     max_retries: int = 1,
+    stats: dict | None = None,
 ) -> np.ndarray:
     """Symmetric [K, K] DTW distance matrix over all segment pairs.
 
@@ -242,6 +271,8 @@ def all_pairs_distances(
     dispatch or materialization raises is retried synchronously up to this
     many times before the error propagates; completed blocks are unaffected
     (and, with `block_dir`, already persisted).
+    `stats`: optional dict filled with host-side timing breakdown
+    (dispatch_s, collect_s, persist_s, blocks, pad_pairs) for perf triage.
     """
     K, L, _ = features.shape
     lengths = np.asarray(lengths, dtype=np.int32)
@@ -272,16 +303,25 @@ def all_pairs_distances(
     if not _on_tpu():
         B = min(B, 1024)
     blocks = []
-    for row_cap, bucket, ii, jj in enumerate_pair_blocks(lengths, B, step, L):
+    for row_cap, bucket, mld, ii, jj in enumerate_pair_blocks(
+        lengths, B, step, L, band=cfg.band, auto_widen=cfg.auto_widen_band
+    ):
         if bucket > MAX_KERNEL_SEQ_LEN and len(ii) > 512:
             # The blocked long path holds [B, nB, blk, blk] cost tiles per
             # diagonal step; keep its batches small enough for HBM.
             for s in range(0, len(ii), 512):
-                blocks.append((row_cap, bucket, ii[s : s + 512], jj[s : s + 512]))
+                blocks.append((row_cap, bucket, mld, ii[s : s + 512], jj[s : s + 512]))
         else:
-            blocks.append((row_cap, bucket, ii, jj))
-    total_pairs = sum(len(ii) for _, _, ii, _ in blocks)
+            blocks.append((row_cap, bucket, mld, ii, jj))
+    total_pairs = sum(len(ii) for _, _, _, ii, _ in blocks)
     done_pairs = 0
+
+    if stats is None:
+        stats = {}
+    stats.update(
+        dispatch_s=0.0, collect_s=0.0, persist_s=0.0, blocks=len(blocks),
+        pad_pairs=0, pairs=total_pairs,
+    )
 
     # In-flight results for pipelining: keep a sliding window of dispatched
     # blocks and sync only the oldest when the window is full, so the device
@@ -291,16 +331,20 @@ def all_pairs_distances(
     def collect_one():
         nonlocal done_pairs
         ii, jj, dispatch, fut, path = pending.pop(0)
+        t0 = time.perf_counter()
         try:
             vals = np.asarray(fut)[: len(ii)]
         except Exception as exc:
             vals = _with_retries(
                 lambda: np.asarray(dispatch())[: len(ii)], max_retries, exc
             )
+        stats["collect_s"] += time.perf_counter() - t0
         D[ii, jj] = vals
         D[jj, ii] = vals
         if path is not None:
+            t0 = time.perf_counter()
             np.savez(path, ii=ii, jj=jj, d=vals)
+            stats["persist_s"] += time.perf_counter() - t0
         done_pairs += len(ii)
         if progress:
             progress(done_pairs, total_pairs)
@@ -309,7 +353,7 @@ def all_pairs_distances(
         while pending:
             collect_one()
 
-    for bi, (row_cap, bucket, ii, jj) in enumerate(blocks):
+    for bi, (row_cap, bucket, mld, ii, jj) in enumerate(blocks):
         path = None
         if block_dir is not None:
             path = block_dir / (_block_key(ii, jj, cfg_tag) + ".npz")
@@ -335,14 +379,18 @@ def all_pairs_distances(
         jj_pad[: len(jj)] = jj
 
         # The Mosaic kernel is the fast path on real TPU hardware; the
-        # lax.scan wavefront covers CPU test meshes and over-long buckets.
+        # lax.scan wavefront covers CPU test meshes and shapes the kernels
+        # can't take (banded blocks past MAX_KERNEL_SEQ_LEN ride the
+        # band-limited stripe kernel up to MAX_STRIPE_SEQ_LEN).
         use_pallas = bool(
-            cfg.use_pallas and bucket <= MAX_KERNEL_SEQ_LEN and _on_tpu()
+            cfg.use_pallas
+            and _on_tpu()
+            and pallas_supported(bucket, cfg.band, cfg.auto_widen_band, mld)
         )
         di = bi % len(devices)
 
         def dispatch(di=di, ii_pad=ii_pad, jj_pad=jj_pad, row_cap=row_cap,
-                     bucket=bucket, use_pallas=use_pallas):
+                     bucket=bucket, mld=mld, use_pallas=use_pallas):
             # Index vectors ride along with the jitted call (one transfer
             # fused into the dispatch — no separate eager device_puts).
             return _dtw_block(
@@ -359,14 +407,22 @@ def all_pairs_distances(
                 matmul_dtype=matmul_dtype
                 or (cfg.dtype if cfg.dtype == "bfloat16" else None),
                 use_pallas=use_pallas,
+                max_len_diff=mld,
             )
 
+        stats["pad_pairs"] += B_blk - len(ii)
+        t0 = time.perf_counter()
         try:
             fut = dispatch()
         except Exception as exc:
             fut = _with_retries(dispatch, max_retries, exc)
+        stats["dispatch_s"] += time.perf_counter() - t0
         pending.append((ii, jj, dispatch, fut, path))
-        if len(pending) >= 4 * len(devices):
+        # 6-deep per device: deep enough that a slow host-side collection
+        # (scatter + persist) never drains the device queue; each in-flight
+        # block pins its gathered [B, L, d] operands in HBM, so the window
+        # is bounded, not unbounded.
+        if len(pending) >= 6 * len(devices):
             collect_one()
     drain()
     return D

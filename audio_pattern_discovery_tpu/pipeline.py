@@ -165,11 +165,29 @@ def discover(
     )
     dtw_devices = list(all_devices[:n_data]) if n_data > 1 else None
     ae_sharding = None
+    ae_param_fn = None
     if n_data > 1:
-        from audio_pattern_discovery_tpu.parallel.mesh import data_sharding, make_mesh
+        from audio_pattern_discovery_tpu.parallel.mesh import (
+            ae_param_sharding,
+            data_sharding,
+            make_mesh,
+        )
 
-        ae_sharding = data_sharding(make_mesh(cfg.parallel, devices=all_devices))
-        log.info(f"data-parallel over {n_data} devices")
+        mesh = make_mesh(cfg.parallel, devices=all_devices)
+        ae_sharding = data_sharding(mesh)
+        if cfg.parallel.model_axis > 1:
+            # TP over the AE hidden dim: initial params are placed with the
+            # "model"-axis layout; optimizer state and the scan carry inherit
+            # it, so XLA keeps activations sharded through the hidden layers
+            # (exercised multi-virtual-device in tests/test_sharding.py and
+            # __graft_entry__.dryrun_multichip).
+            ae_param_fn = lambda p: ae_param_sharding(mesh, p)  # noqa: E731
+            log.info(
+                f"mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}: "
+                "DP over data axis, AE TP over model axis"
+            )
+        else:
+            log.info(f"data-parallel over {n_data} devices")
 
     # ---- L0: ingest ------------------------------------------------------
     with counters.time_stage("ingest"):
@@ -301,6 +319,7 @@ def discover(
                     cfg.autoencoder,
                     logger=log,
                     data_sharding=ae_sharding,
+                    param_shardings=ae_param_fn,
                 )
                 if ckpt_dir is not None:
                     save_ae_checkpoint(ckpt_dir, state, scaler)
@@ -333,25 +352,24 @@ def discover(
         ccfg = cfg.cluster
         thr = ccfg.distance_threshold
         if thr is None and ccfg.n_clusters is None:
-            # Default cut: quantile of merge heights (data-driven,
-            # deterministic; see ClusterConfig.auto_cut_quantile), capped so
-            # the final 3 merges never auto-apply — on tiny corpora the
-            # quantile is too coarse and would fuse distinct motifs (purity
-            # beats fragmentation; explicit threshold/n_clusters override).
-            # One linkage pass serves both the cut choice and the labels.
+            # Default data-driven cut (deterministic; explicit threshold /
+            # n_clusters override): largest-relative-gap rule with quantile
+            # fallback — see cluster.agglomerative.auto_cut_threshold.  One
+            # linkage pass serves both the cut choice and the labels.
             from audio_pattern_discovery_tpu.cluster.agglomerative import (
+                auto_cut_threshold,
                 cut_linkage,
                 linkage,
             )
 
             Z = linkage(D, ccfg.linkage, use_native=ccfg.use_native)
-            if len(Z) > 4:
-                q = min(ccfg.auto_cut_quantile, 1.0 - 3.0 / len(Z))
-                thr = float(np.quantile(Z[:, 2], q))
-            elif len(Z):
-                thr = float(np.median(Z[:, 2]))
-            else:
-                thr = 0.0
+            thr = auto_cut_threshold(
+                Z,
+                quantile=ccfg.auto_cut_quantile,
+                min_rel_gap=(
+                    ccfg.auto_cut_min_rel_gap if ccfg.auto_cut == "gap" else np.inf
+                ),
+            )
             labels = cut_linkage(Z, D.shape[0], distance_threshold=thr)
         else:
             labels, _ = cluster_distance_matrix(
@@ -412,29 +430,69 @@ def _extract_clusters(
         rep = ClusterReport(cluster_id=new_id, exemplar=exemplar, members=members)
         if cfg.output.write_alignments and len(members) > 1:
             others = [m for m in members if m != exemplar]
-            # Pad the batch to a power of two: cluster sizes vary per corpus
-            # and every distinct shape would otherwise compile a fresh XLA
-            # program (pad pairs are self-alignments of the exemplar).
-            n = len(others)
-            n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
-            idx = np.asarray(others + [exemplar] * (n_pad - n))
-            a = features[np.full(n_pad, exemplar)]
-            b = features[idx]
-            la = seg_lengths[np.full(n_pad, exemplar)]
-            lb = seg_lengths[idx]
-            _, dirs = dtw_batch_with_dirs(
-                jnp.asarray(a),
-                jnp.asarray(b),
-                jnp.asarray(la),
-                jnp.asarray(lb),
-                metric=cfg.dtw.metric,
-                band=cfg.dtw.band,
-                auto_widen=cfg.dtw.auto_widen_band,
+            rep.alignments = _cluster_alignments(
+                exemplar, others, features, seg_lengths, cfg
             )
-            paths = paths_from_dirs(np.asarray(dirs)[:n], la[:n], lb[:n])
-            rep.alignments = {m: p for m, p in zip(others, paths)}
         reports.append(rep)
     return reports
+
+
+# The with-dirs DTW materializes O(B * (N+M) * M) device bytes (uint8 dirs +
+# f32 cost/skew intermediates, ~16 bytes per DP cell all told).  Without a
+# guard a 64-member cluster at max_seq_len=1024 silently dispatches a
+# multi-GiB program; chunking keeps every dispatch under this budget
+# (SURVEY.md SS8 'backtrace memory').
+_ALIGN_BYTES_BUDGET = 512 * 1024 * 1024
+
+
+def _cluster_alignments(
+    exemplar: int,
+    others: list[int],
+    features: np.ndarray,
+    seg_lengths: np.ndarray,
+    cfg: PipelineConfig,
+) -> dict[int, list[tuple[int, int]]]:
+    """Exemplar<->member warping paths in bounded device memory.
+
+    Sequences are trimmed to the cluster's next-pow2 length (alignments run
+    once per cluster over a handful of shapes, but full max_seq_len padding
+    would square into the dirs tensor), and the member batch is chunked so
+    each dispatch stays under _ALIGN_BYTES_BUDGET.  Chunks are padded to one
+    power-of-two size so the whole loop reuses a single XLA program.
+    """
+    idx_all = np.asarray(others)
+    la_all = seg_lengths[np.full(len(others), exemplar)]
+    lb_all = seg_lengths[idx_all]
+    lmax = int(max(int(la_all.max()), int(lb_all.max()), 8))
+    L = min(features.shape[1], 1 << (lmax - 1).bit_length())
+
+    bytes_per_pair = 16 * (2 * L) * L
+    chunk = max(1, _ALIGN_BYTES_BUDGET // bytes_per_pair)
+    n = len(others)
+    n_chunk = 1 << (min(chunk, n) - 1).bit_length()
+
+    paths: list[list[tuple[int, int]]] = []
+    for s in range(0, n, n_chunk):
+        sel = idx_all[s : s + n_chunk]
+        m = len(sel)
+        # Pad partial chunks with exemplar self-alignments (discarded below)
+        # so every dispatch shares the same compiled shape.
+        pad_idx = np.concatenate([sel, np.full(n_chunk - m, exemplar)])
+        a = features[np.full(n_chunk, exemplar), :L]
+        b = features[pad_idx, :L]
+        la = seg_lengths[np.full(n_chunk, exemplar)]
+        lb = seg_lengths[pad_idx]
+        _, dirs = dtw_batch_with_dirs(
+            jnp.asarray(a),
+            jnp.asarray(b),
+            jnp.asarray(la),
+            jnp.asarray(lb),
+            metric=cfg.dtw.metric,
+            band=cfg.dtw.band,
+            auto_widen=cfg.dtw.auto_widen_band,
+        )
+        paths.extend(paths_from_dirs(np.asarray(dirs)[:m], la[:m], lb[:m]))
+    return {m: p for m, p in zip(others, paths)}
 
 
 def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:

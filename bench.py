@@ -40,7 +40,10 @@ def main() -> int:
     import jax.numpy as jnp
 
     from audio_pattern_discovery_tpu import native
-    from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_batch_pallas
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_batch_pallas,
+        scan_len_diff_classes,
+    )
 
     rng = np.random.default_rng(0)
     lengths_np = rng.integers(SEQ_LEN // 2, SEQ_LEN + 1, BATCH).astype(np.int32)
@@ -53,29 +56,57 @@ def main() -> int:
     log(f"device: {dev} ({dev.platform})")
     on_tpu = dev.platform not in ("cpu", "gpu")
 
-    a = jnp.asarray(a_np)
-    b = jnp.asarray(b_np)
-    la = jnp.asarray(la_np)
-    lb = jnp.asarray(lb_np)
+    # Group pairs by their |la-lb| scan-plan class, exactly as the pair
+    # scheduler does (parallel/pair_scheduler.enumerate_pair_blocks): each
+    # class gets a static max_len_diff bound that tightens the kernel's
+    # banded scan depth and, for narrow classes, enables the mask-free
+    # seam-absorbed scan.  Throughput is reported over the FULL mixed batch.
+    classes = scan_len_diff_classes(SEQ_LEN, BAND, True)
+    dd = np.abs(la_np - lb_np)
+    cls = np.searchsorted(np.asarray(classes), dd)
+    parts = []
+    for c, bound in enumerate(classes):
+        idx = np.nonzero(cls == c)[0]
+        if len(idx):
+            parts.append(
+                (
+                    int(bound),
+                    jnp.asarray(a_np[idx]),
+                    jnp.asarray(b_np[idx]),
+                    jnp.asarray(la_np[idx]),
+                    jnp.asarray(lb_np[idx]),
+                )
+            )
+    log(
+        "scan classes: "
+        + ", ".join(f"dd<={b}: {p[3].shape[0]} pairs" for (b, *p) in parts)
+    )
 
     def run():
-        return dtw_batch_pallas(
-            a, b, la, lb, band=BAND, normalize="path_len",
-            interpret=not on_tpu,
-        )
+        return [
+            dtw_batch_pallas(
+                pa, pb, pla, plb, band=BAND, normalize="path_len",
+                max_len_diff=bound, interpret=not on_tpu,
+            )
+            for bound, pa, pb, pla, plb in parts
+        ]
 
     # NOTE: on the remote-relay TPU backend jax.block_until_ready can return
     # before the computation finishes; np.asarray() materialization is the
     # only honest sync barrier (utils/timer.py).
+    def drain(outs):
+        for o in outs:
+            np.asarray(o)
+
     if on_tpu:
         t0 = time.perf_counter()
-        np.asarray(run())  # compile + warm
+        drain(run())  # compile + warm
         log(f"compile+warm: {time.perf_counter() - t0:.1f}s")
         # Per-call synchronized latency (includes the dispatch RPC floor of
         # the tunneled backend; stderr detail only).
         t0 = time.perf_counter()
         for _ in range(TPU_ITERS):
-            np.asarray(run())
+            drain(run())
         sync_s = (time.perf_counter() - t0) / TPU_ITERS
         log(f"sync: {BATCH / sync_s:,.0f} pairs/s ({sync_s * 1e3:.1f} ms/batch)")
         # Steady-state throughput: keep PIPELINE_DEPTH dispatches in flight,
@@ -84,13 +115,13 @@ def main() -> int:
         # of three measurement windows.
         outs = [run() for _ in range(PIPELINE_DEPTH)]
         for o in outs:
-            np.asarray(o)  # drain warmup wave
+            drain(o)  # drain warmup wave
         windows = []
         for w in range(3):
             t0 = time.perf_counter()
             outs = [run() for _ in range(TPU_ITERS)]
             for o in outs:
-                np.asarray(o)
+                drain(o)
             windows.append((time.perf_counter() - t0) / TPU_ITERS)
         log(
             "pipelined windows: "
@@ -113,27 +144,55 @@ def main() -> int:
     log(f"device DTW: {tpu_pairs_per_sec:,.0f} pairs/s ({device_s * 1e3:.1f} ms/batch)")
 
     # ---- secondary metric: spectrogram frames/sec per chip (stderr) -------
+    # Measured the way the discovery pipeline runs it: the streaming tile
+    # path (spectrogram_corpus) over int16 clips with its dispatch pipeline,
+    # including host tile assembly — best of 3 passes (steady state), not a
+    # single synchronized dispatch.
     if on_tpu:
-        from audio_pattern_discovery_tpu.ops.spectrogram import batched_spectrogram
+        from audio_pattern_discovery_tpu.config import SpectrogramConfig
+        from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
 
-        SP_B, SP_N = 16, 44_100 * 10          # 16 ten-second 44.1 kHz clips
-        sig = jnp.asarray(
-            rng.normal(0, 0.1, (SP_B, SP_N)).astype(np.float32)
-        )
-        slens = jnp.full((SP_B,), SP_N, jnp.int32)
-        np.asarray(batched_spectrogram(sig, slens)[0])  # compile + warm
-        t0 = time.perf_counter()
-        specs, fc = batched_spectrogram(sig, slens)
-        np.asarray(specs)
-        sp_s = time.perf_counter() - t0
-        n_frames = int(np.asarray(fc).sum())
+        sp_cfg = SpectrogramConfig()
+        SP_B, SP_SEC = 8, 30                  # 8 thirty-second 44.1 kHz clips
+        sp_sigs = [
+            (rng.normal(0, 0.1, SP_SEC * 44_100) * 3276.8)
+            .clip(-32768, 32767)
+            .astype(np.int16)
+            for _ in range(SP_B)
+        ]
+        sp_scales = np.ones(SP_B, np.float32)
+
+        def sp_run():
+            # Device-resident output — the production path for corpora under
+            # the HBM budget (the pipeline consumes spectrograms on-device;
+            # no [B, F, bins] download).  The scalar materialization is the
+            # honest sync barrier: it cannot resolve until every tile ran.
+            specs_dev, fc, _ = spectrogram_corpus(
+                sp_sigs, sp_cfg, scales=sp_scales, return_device=True
+            )
+            np.asarray(specs_dev[:, -1, 0])
+            return fc
+
+        sp_run()  # compile + warm
+        sp_best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fc = sp_run()
+            sp_best = max(sp_best, int(fc.sum()) / (time.perf_counter() - t0))
         log(
-            f"spectrogram: {n_frames / sp_s:,.0f} frames/s per chip "
-            f"({n_frames} frames in {sp_s * 1e3:.1f} ms)"
+            f"spectrogram: {sp_best:,.0f} frames/s per chip "
+            f"(streaming int16 tiles, device-resident, {int(fc.sum())} "
+            "frames, best of 3)"
         )
 
-    # ---- CPU baseline: native single-core C++ (Rust-equivalent) ----------
+    # ---- CPU baseline: native C++ (Rust-equivalent) ----------------------
+    # Two rows bracket the "Rust CPU baseline" interpretation (SURVEY.md SS3
+    # row 6 flags the reference as possibly rayon-parallel): single-core is
+    # the metric of record for vs_baseline; the all-cores row is measured and
+    # logged so the headline multiple can be stated against both.
     if native.available():
+        import os
+
         sl = slice(0, CPU_PAIRS)
         native.dtw_batch_cpu(  # warm
             a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
@@ -147,6 +206,39 @@ def main() -> int:
         cpu_s = time.perf_counter() - t0
         cpu_pairs_per_sec = CPU_PAIRS / cpu_s
         log(f"CPU baseline (1 core C++): {cpu_pairs_per_sec:,.0f} pairs/s")
+
+        ncores = len(os.sched_getaffinity(0)) or os.cpu_count() or 1
+        if ncores > 1:
+            mt_pairs = min(BATCH, CPU_PAIRS * ncores)
+            slm = slice(0, mt_pairs)
+            native.dtw_batch_cpu(  # warm (thread pool spin-up)
+                a_np[slm], b_np[slm], la_np[slm], lb_np[slm],
+                band=BAND, normalize="path_len", n_threads=0,
+            )
+            t0 = time.perf_counter()
+            native.dtw_batch_cpu(
+                a_np[slm], b_np[slm], la_np[slm], lb_np[slm],
+                band=BAND, normalize="path_len", n_threads=0,
+            )
+            mt_pairs_per_sec = mt_pairs / (time.perf_counter() - t0)
+            log(
+                f"CPU baseline ({ncores} cores C++): {mt_pairs_per_sec:,.0f}"
+                f" pairs/s -> single chip = "
+                f"{tpu_pairs_per_sec / mt_pairs_per_sec:.1f}x all-cores, "
+                f"{tpu_pairs_per_sec / cpu_pairs_per_sec:.1f}x 1-core"
+            )
+        else:
+            # This host exposes ONE core, so the rayon-parallel reading of
+            # the "Rust CPU baseline" cannot be measured here; state the
+            # bracket arithmetically (linear scaling is rayon's best case).
+            for hypo in (16, 32):
+                proj = cpu_pairs_per_sec * hypo
+                log(
+                    f"CPU baseline ({hypo}-core projection, linear scaling): "
+                    f"{proj:,.0f} pairs/s -> single chip = "
+                    f"{tpu_pairs_per_sec / proj:.1f}x, v5e-8 = "
+                    f"{8 * tpu_pairs_per_sec / proj:.1f}x"
+                )
     else:
         log("native library unavailable; using recorded baseline")
         cpu_pairs_per_sec = 50_000.0  # conservative single-core estimate

@@ -70,6 +70,164 @@ def test_non_power_of_two_seq_len(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+def test_scan_len_diff_classes():
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        scan_len_diff_classes,
+        stripe_width,
+    )
+
+    # S=128: the stripe never applies -> a single class (no batch split;
+    # splitting the square kernel's batches was measured perf-neutral).
+    assert scan_len_diff_classes(128, 16, True) == [128]
+    # S=512: narrow diffs ride the W=128 stripe, wider ones W=256, the rest
+    # the square kernel; class bounds must track stripe_width exactly.
+    classes = scan_len_diff_classes(512, 16, True)
+    assert classes[-1] == 512
+    for lo, hi in zip([0] + [c + 1 for c in classes[:-1]], classes):
+        want = stripe_width(512, 16, True, hi)
+        for dd in (lo, (lo + hi) // 2, hi):
+            assert stripe_width(512, 16, True, dd) == want
+    # Band off or widen off: a single class.
+    assert scan_len_diff_classes(128, None, True) == [128]
+    assert scan_len_diff_classes(128, 9, False) == [128]
+
+
+def test_interpret_banded_with_len_diff_hint(rng):
+    """A tight max_len_diff hint must not perturb results (it only selects
+    kernel routing); banded distances still match the oracle exactly."""
+    sa, sb, a, b, la, lb = _pairs(rng, 6, len_range=(50, 64), pad_to=64)
+    mld = int(np.abs(la - lb).max())
+    got = np.asarray(
+        dtw_batch_pallas(a, b, la, lb, band=7, max_len_diff=mld, interpret=True)
+    )
+    for p in range(6):
+        want = dtw_oracle(sa[p], sb[p], band=7)
+        np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
+
+
+def test_interpret_banded_full_length_edges(rng):
+    """Equal full-width lengths: the band touches lane 0 on early rows and
+    lane S-1 on late rows — stresses the masked scan at both row edges."""
+    d, S = 8, 64
+    sa = [rng.normal(0, 1, (S, d)).astype(np.float32) for _ in range(4)]
+    sb = [rng.normal(0, 1, (S, d)).astype(np.float32) for _ in range(4)]
+    a = np.stack(sa)
+    b = np.stack(sb)
+    la = np.full(4, S, np.int32)
+    got = np.asarray(
+        dtw_batch_pallas(a, b, la, la, band=5, max_len_diff=0, interpret=True)
+    )
+    for p in range(4):
+        want = dtw_oracle(sa[p], sb[p], band=5)
+        np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
+
+
+def test_interpret_len_diff_hint_wide_class(rng):
+    """A wide hint (stripe inapplicable) routes to the square kernel and
+    still matches the oracle."""
+    sa, sb, a, b, la, lb = _pairs(rng, 5, len_range=(5, 64), pad_to=64)
+    mld = max(40, int(np.abs(la - lb).max()))
+    got = np.asarray(
+        dtw_batch_pallas(a, b, la, lb, band=7, max_len_diff=mld, interpret=True)
+    )
+    for p in range(5):
+        want = dtw_oracle(sa[p], sb[p], band=7)
+        np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
+
+
+def _stripe_case(rng, n, len_range, pad_to, d=6):
+    sa = [rng.normal(0, 1, (rng.integers(*len_range), d)).astype(np.float32) for _ in range(n)]
+    sb = [rng.normal(0, 1, (rng.integers(*len_range), d)).astype(np.float32) for _ in range(n)]
+    a, la = pad_and_stack(sa, pad_to=pad_to)
+    b, lb = pad_and_stack(sb, pad_to=pad_to)
+    return sa, sb, a, b, la, lb
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "sqeuclidean", "cosine"])
+def test_stripe_kernel_matches_oracle(rng, metric):
+    """S=256 banded pairs route to the band-limited stripe kernel."""
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import stripe_width
+
+    sa, sb, a, b, la, lb = _stripe_case(rng, 5, (200, 256), 256)
+    mld = int(np.abs(la - lb).max())
+    assert stripe_width(256, 16, True, mld) == 128, "must take the stripe path"
+    got = np.asarray(
+        dtw_batch_pallas(
+            a, b, la, lb, band=16, max_len_diff=mld, metric=metric,
+            interpret=True,
+        )
+    )
+    for p in range(5):
+        want = dtw_oracle(sa[p], sb[p], band=16, metric=metric)
+        np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
+
+
+def test_stripe_kernel_negative_and_positive_diffs(rng):
+    """Stripe slots cover j-i in [-wv, wv]: mixed orientations in one batch."""
+    d, S = 4, 256
+    las = np.array([256, 200, 230, 256], np.int32)
+    lbs = np.array([200, 256, 256, 230], np.int32)
+    sa = [rng.normal(0, 1, (l, d)).astype(np.float32) for l in las]
+    sb = [rng.normal(0, 1, (l, d)).astype(np.float32) for l in lbs]
+    a, la = pad_and_stack(sa, pad_to=S)
+    b, lb = pad_and_stack(sb, pad_to=S)
+    got = np.asarray(
+        dtw_batch_pallas(a, b, la, lb, band=12, max_len_diff=56, interpret=True)
+    )
+    for p in range(4):
+        want = dtw_oracle(sa[p], sb[p], band=12)
+        np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
+
+
+def test_stripe_kernel_short_rows_and_tail_panel(rng):
+    """R < S (shorter-first orientation) with R not a multiple of the panel
+    height exercises the partial tail panel."""
+    d = 5
+    sa = [rng.normal(0, 1, (rng.integers(120, 160), d)).astype(np.float32) for _ in range(3)]
+    sb = [rng.normal(0, 1, (rng.integers(160, 192), d)).astype(np.float32) for _ in range(3)]
+    a, la = pad_and_stack(sa, pad_to=160)
+    b, lb = pad_and_stack(sb, pad_to=384)
+    got = np.asarray(
+        dtw_batch_pallas(a, b, la, lb, band=10, max_len_diff=72, interpret=True)
+    )
+    for p in range(3):
+        want = dtw_oracle(sa[p], sb[p], band=10)
+        np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
+
+
+def test_stripe_kernel_beyond_square_ceiling(rng):
+    """Banded S=2048 (past MAX_KERNEL_SEQ_LEN) runs on the stripe kernel."""
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import pallas_supported
+
+    assert pallas_supported(2048, 16, True, 40)
+    assert not pallas_supported(2048, None, True, None)
+    d, S = 3, 2048
+    las = np.array([2048, 2000], np.int32)
+    lbs = np.array([2010, 2048], np.int32)
+    sa = [rng.normal(0, 1, (l, d)).astype(np.float32) for l in las]
+    sb = [rng.normal(0, 1, (l, d)).astype(np.float32) for l in lbs]
+    a, la = pad_and_stack(sa, pad_to=S)
+    b, lb = pad_and_stack(sb, pad_to=S)
+    got = np.asarray(
+        dtw_batch_pallas(a, b, la, lb, band=16, max_len_diff=48, interpret=True)
+    )
+    for p in range(2):
+        want = dtw_oracle(sa[p], sb[p], band=16)
+        np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.tpu
+def test_tpu_stripe_kernel_compiled(rng):
+    """Compiled Mosaic stripe kernel at S=512 vs the scan wavefront."""
+    sa, sb, a, b, la, lb = _stripe_case(rng, 16, (400, 512), 512)
+    mld = int(np.abs(la - lb).max())
+    scan = np.asarray(dtw_batch(a, b, la, lb, band=16))
+    pallas = np.asarray(
+        dtw_batch_pallas(a, b, la, lb, band=16, max_len_diff=mld)
+    )
+    np.testing.assert_allclose(pallas, scan, rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.tpu
 def test_tpu_compiled_matches_scan(rng):
     _, _, a, b, la, lb = _pairs(rng, 64, len_range=(20, 128), pad_to=128)

@@ -28,7 +28,7 @@ def test_bucket_lengths():
 def test_blocks_cover_upper_triangle(rng):
     _, lengths = _features(rng, K=17)
     seen = set()
-    for row_cap, bucket, ii, jj in enumerate_pair_blocks(
+    for row_cap, bucket, mld, ii, jj in enumerate_pair_blocks(
         lengths, pair_batch=7, bucket_step=16, max_len=64
     ):
         assert row_cap <= bucket <= 64
@@ -37,10 +37,35 @@ def test_blocks_cover_upper_triangle(rng):
             assert lengths[i] <= lengths[j]
             assert lengths[i] <= row_cap
             assert lengths[j] <= bucket
+            assert lengths[j] - lengths[i] <= mld
             key = (min(int(i), int(j)), max(int(i), int(j)))
             assert key not in seen
             seen.add(key)
     assert len(seen) == 17 * 16 // 2
+
+
+def test_blocks_len_diff_classes(rng):
+    """With a band, pairs are grouped by |len_i-len_j| scan class and every
+    pair's diff respects its block's static bound (a violated bound would be
+    a silent correctness error in the seam-free kernel)."""
+    lengths = rng.integers(8, 128, 40).astype(np.int32)
+    bounds_seen = set()
+    covered = 0
+    for row_cap, bucket, mld, ii, jj in enumerate_pair_blocks(
+        lengths, pair_batch=64, bucket_step=32, max_len=128,
+        band=16, auto_widen=True,
+    ):
+        dd = lengths[jj] - lengths[ii]
+        assert (dd >= 0).all() and (dd <= mld).all()
+        bounds_seen.add((bucket, mld))
+        covered += len(ii)
+    assert covered == 40 * 39 // 2
+    # Canonical bounds only: few distinct static values per bucket.
+    from collections import defaultdict
+    per_bucket = defaultdict(set)
+    for b, m in bounds_seen:
+        per_bucket[b].add(m)
+    assert all(len(v) <= 4 for v in per_bucket.values())
 
 
 def test_matrix_matches_oracle(rng):

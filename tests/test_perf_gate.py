@@ -1,0 +1,68 @@
+"""Automated performance-regression gates (SURVEY.md SS5.2 last bullet).
+
+Run on real hardware with the TPU suite:
+    APD_TPU_TESTS=1 python -m pytest tests/test_perf_gate.py -q
+
+Floors are deliberately generous (the shared axon tunnel adds 1.3-4x
+run-to-run spread — memory/axon-tunnel-performance) but tight enough to
+fail on an order-of-magnitude regression: round-2 healthy numbers are
+~1.0M pairs/s kernel and >=20k frames/s streaming spectrogram.  Override
+with APD_PERF_FLOOR_PAIRS / APD_PERF_FLOOR_FRAMES for stricter CI.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.tpu
+def test_dtw_kernel_throughput_floor(rng):
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_batch_pallas
+
+    floor = float(os.environ.get("APD_PERF_FLOOR_PAIRS", 400_000))
+    B, S, d = 16_384, 128, 16
+    lengths = rng.integers(S // 2, S + 1, B).astype(np.int32)
+    a = jnp.asarray(rng.normal(0, 1, (B, S, d)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 1, (B, S, d)).astype(np.float32))
+    la = jnp.asarray(lengths)
+    lb = jnp.asarray(np.roll(lengths, 1))
+
+    def run():
+        return dtw_batch_pallas(a, b, la, lb, band=16, normalize="path_len")
+
+    np.asarray(run())  # compile + warm
+    for o in [run() for _ in range(3)]:
+        np.asarray(o)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(4)]
+        for o in outs:
+            np.asarray(o)
+        best = max(best, 4 * B / (time.perf_counter() - t0))
+    assert best >= floor, f"DTW kernel {best:,.0f} pairs/s < floor {floor:,.0f}"
+
+
+@pytest.mark.tpu
+def test_spectrogram_throughput_floor(rng):
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
+
+    floor = float(os.environ.get("APD_PERF_FLOOR_FRAMES", 8_000))
+    cfg = SpectrogramConfig()
+    sigs = [
+        (rng.normal(0, 0.1, 15 * 44_100) * 3276.8).clip(-32768, 32767).astype(np.int16)
+        for _ in range(8)
+    ]
+    scales = np.ones(len(sigs), np.float32)
+    spectrogram_corpus(sigs, cfg, scales=scales)  # compile + warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, fc, _ = spectrogram_corpus(sigs, cfg, scales=scales)
+        best = max(best, int(fc.sum()) / (time.perf_counter() - t0))
+    assert best >= floor, f"spectrogram {best:,.0f} frames/s < floor {floor:,.0f}"

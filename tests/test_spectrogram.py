@@ -222,3 +222,25 @@ def test_int16_upload_is_bit_exact(rng):
     np.testing.assert_array_equal(fc_w, fc_g)
     np.testing.assert_array_equal(want, got)
     np.testing.assert_array_equal(en_w, en_g)
+
+
+@pytest.mark.tpu
+def test_tpu_compiled_dft_precision_vs_oracle(rng):
+    """Compiled MXU DFT at each precision tier vs the float64 oracle: the
+    default 'high' (3-pass bf16) must stay well inside the test tolerance;
+    'default' (1-pass) is looser but must stay within ~1e-2 of log10 values
+    (documents the tier contract in config.SpectrogramConfig)."""
+    sig = rng.normal(0, 0.3, 50_000).astype(np.float32)
+    ref = stft_oracle(sig, win_length=1024, hop_length=256)
+    for prec, tol in (("highest", 2e-4), ("high", 2e-3), ("default", 5e-2)):
+        spec, counts = batched_spectrogram(
+            sig[None],
+            np.array([len(sig)], np.int32),
+            win_length=1024,
+            hop_length=256,
+            fft_precision=prec,
+        )
+        nf = int(counts[0])
+        assert nf == ref.shape[0]
+        err = np.max(np.abs(np.asarray(spec[0, :nf]) - ref))
+        assert err < tol, f"{prec}: max log10 err {err} >= {tol}"
