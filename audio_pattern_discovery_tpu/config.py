@@ -118,7 +118,12 @@ class DTWConfig:
     # per-call overhead (measured ~27 ms RPC floor on the tunneled backend);
     # the scheduler clamps this to the corpus's own pair count, so small
     # corpora are unaffected.
-    pair_batch: int = 8192          # pairs per device dispatch
+    # Pairs per device dispatch: bigger blocks amortize dispatch RPCs and
+    # per-block host work (measured 444k -> 547k+ pairs/s at the 50M-pair
+    # scale going 32k -> 128k); the scheduler caps each block's device
+    # gather at ~2 GiB so long buckets stay safe, and small corpora clamp
+    # to their own pair count.
+    pair_batch: int = 131_072
     max_seq_len: int = 256          # pad/bucket ceiling for segment length
     length_bucketing: bool = True
     use_pallas: bool = True         # anti-diagonal wavefront Pallas kernel

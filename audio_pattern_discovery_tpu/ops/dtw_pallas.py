@@ -365,8 +365,10 @@ def stripe_width(seq_len: int, band: int | None, auto_widen: bool,
     when the stripe formulation does not apply / cannot win.
 
     Requires a band with a statically-bounded widen (slot 0 must sit outside
-    every pair's band), and only pays off when the stripe is narrower than
-    the full row (otherwise the square kernel avoids the skew cost)."""
+    every pair's band), and only pays off when the stripe is MUCH narrower
+    than the full row: measured on the v5e, stripe/square is 0.91x at
+    W=S/2 (S=256) but 1.93x at W=S/4 (S=512) and 2.16x at W=S/8 (S=1024) —
+    the panel-skew overhead needs a >= 4x width reduction to win."""
     if band is None:
         return None
     if auto_widen:
@@ -376,7 +378,7 @@ def stripe_width(seq_len: int, band: int | None, auto_widen: bool,
     else:
         wv_max = int(band)
     w = 128 * (-(-(2 * wv_max + 2) // 128))
-    if w > seq_len // 2:
+    if 4 * w > seq_len:
         return None
     return w
 

@@ -73,54 +73,77 @@ def enumerate_pair_blocks(
     DTW is symmetric, so every pair is oriented shorter-first (ii = shorter
     sequence): the kernel's sequential row loop then runs only row_cap
     steps.  Pairs are bucketed by the longer side's padded length (the lane
-    width) and sub-sorted by the shorter side's, so blocks get tight static
-    row capacities.  Within each shape, pairs are further grouped by their
-    |len_i - len_j| scan-plan class (ops.dtw_pallas.scan_len_diff_classes):
+    width) and sub-bucketed by the shorter side's, so blocks get tight
+    static row capacities.  Within each shape, pairs are further grouped by
+    their |len_i - len_j| routing class (ops.dtw_pallas.scan_len_diff_classes):
     the emitted `max_len_diff` is the class's canonical upper bound, so the
-    kernel's banded scan depth and seam-free fast path apply per group with
-    only a handful of distinct static values (compiles cost minutes on this
-    backend).  Deterministic order: (bucket, row bucket, class) ascending,
-    pairs in lexicographic (i, j).
+    stripe kernel's width applies per group with only a handful of distinct
+    static values (compiles cost minutes on this backend).  Deterministic
+    order: (column bucket, row bucket, class) ascending, pairs in the
+    row-major order of each length-sorted group pair.
     """
     K = len(lengths)
+    lengths = np.asarray(lengths)
     buckets = bucket_lengths(lengths, bucket_step, max_len)
-    iu, ju = np.triu_indices(K, k=1)
-    swap = lengths[iu] > lengths[ju]
-    ii_all = np.where(swap, ju, iu).astype(np.int64)   # shorter
-    jj_all = np.where(swap, iu, ju).astype(np.int64)   # longer
-    lo_bucket = buckets[ii_all]
-    hi_bucket = buckets[jj_all]
-    for b in np.unique(hi_bucket):
-        mask = hi_bucket == b
+    # This enumeration sits on the measured critical path of the all-pairs
+    # job (a naive 50M-pair triu + full-array orientation/bucket masks cost
+    # 12-35 s of single-core time on this host; scale_bench "enumerate").
+    # Group-wise construction touches only K-sized arrays until the final
+    # per-block index output: sequences are grouped by bucket with each
+    # group length-sorted, so (a) a group-pair's pairs are a direct
+    # repeat/tile cartesian (same-bucket: triangle in sorted positions), and
+    # (b) the shorter-first orientation holds by construction — no per-pair
+    # swap/masks.  Streaming per group-pair also means the first block
+    # yields in milliseconds, overlapping the rest with device work.
+    order = np.argsort(lengths, kind="stable").astype(np.int32)
+    b_sorted = buckets[order]
+    uniq = [int(b) for b in np.unique(buckets)]
+    groups = {b: order[b_sorted == b] for b in uniq}
+
+    for bb in uniq:
+        gb = groups[bb]
         # At most TWO row capacities per column bucket (full and half):
         # every distinct (row, col) shape is a fresh XLA compile — minutes
         # on a remote backend — so finer row buckets cost more in compiles
         # than their extra row savings return.
-        half = min(int(b), max(bucket_step, -(-(int(b) // 2) // bucket_step) * bucket_step))
-        if half < int(b):
-            groups = [
-                (half, mask & (lo_bucket <= half)),
-                (int(b), mask & (lo_bucket > half)),
-            ]
-        else:
-            groups = [(int(b), mask)]
-        classes = scan_len_diff_classes(int(b), band, auto_widen)
-        for rb, sub in groups:
-            if not sub.any():
-                continue
-            ii, jj = ii_all[sub], jj_all[sub]
-            dd = (lengths[jj] - lengths[ii]).astype(np.int64)  # >= 0
-            cls = np.searchsorted(np.asarray(classes), dd)     # upper-incl.
-            for c, bound in enumerate(classes):
-                m = cls == c
-                if not m.any():
+        half = min(bb, max(bucket_step, -(-(bb // 2) // bucket_step) * bucket_step))
+        classes = scan_len_diff_classes(bb, band, auto_widen)
+        for ba in uniq:
+            if ba > bb:
+                break
+            ga = groups[ba]
+            rb = half if (ba <= half < bb) else bb
+            if ba == bb:
+                n = len(gb)
+                if n < 2:
                     continue
-                ic, jc = ii[m], jj[m]
+                counts = np.arange(n - 1, 0, -1)
+                iu = np.repeat(np.arange(n - 1, dtype=np.int32), counts)
+                ju = np.concatenate(
+                    [np.arange(i + 1, n, dtype=np.int32) for i in range(n - 1)]
+                )
+                ii, jj = gb[iu], gb[ju]
+            else:
+                if not (len(ga) and len(gb)):
+                    continue
+                ii = np.repeat(ga, len(gb))
+                jj = np.tile(gb, len(ga))
+            if len(classes) == 1:
+                splits = [(int(classes[0]), ii, jj)]
+            else:
+                dd = lengths[jj] - lengths[ii]                 # >= 0
+                cls = np.searchsorted(np.asarray(classes), dd)
+                splits = []
+                for c, bound in enumerate(classes):
+                    m = cls == c
+                    if m.any():
+                        splits.append((int(bound), ii[m], jj[m]))
+            for bound, ic, jc in splits:
                 for s in range(0, len(ic), pair_batch):
                     yield (
                         rb,
-                        int(b),
-                        int(bound),
+                        bb,
+                        bound,
                         ic[s : s + pair_batch],
                         jc[s : s + pair_batch],
                     )
@@ -302,26 +325,44 @@ def all_pairs_distances(
     B = int(min(cfg.pair_batch, max(8, -(-n_all_pairs // 8) * 8)))
     if not _on_tpu():
         B = min(B, 1024)
-    blocks = []
-    for row_cap, bucket, mld, ii, jj in enumerate_pair_blocks(
-        lengths, B, step, L, band=cfg.band, auto_widen=cfg.auto_widen_band
-    ):
-        if bucket > MAX_KERNEL_SEQ_LEN and len(ii) > 512:
-            # The blocked long path holds [B, nB, blk, blk] cost tiles per
-            # diagonal step; keep its batches small enough for HBM.
-            for s in range(0, len(ii), 512):
-                blocks.append((row_cap, bucket, mld, ii[s : s + 512], jj[s : s + 512]))
-        else:
-            blocks.append((row_cap, bucket, mld, ii, jj))
-    total_pairs = sum(len(ii) for _, _, _, ii, _ in blocks)
-    done_pairs = 0
 
     if stats is None:
         stats = {}
     stats.update(
-        dispatch_s=0.0, collect_s=0.0, persist_s=0.0, blocks=len(blocks),
-        pad_pairs=0, pairs=total_pairs,
+        dispatch_s=0.0, collect_s=0.0, scatter_s=0.0, persist_s=0.0,
+        enumerate_s=0.0, blocks=0, pad_pairs=0, pairs=n_all_pairs,
     )
+
+    # Blocks STREAM from the enumerator instead of materializing a list:
+    # at 10k sequences the enumeration is tens of seconds of single-core
+    # numpy (worse under the shared host's CPU throttling), and streaming
+    # overlaps all of it with device work — the in-flight window keeps the
+    # chip busy while the host prepares the next groups.
+    # Per-block device-gather budget: each dispatch gathers [B, bucket, d]
+    # a/b operands, so long buckets must take proportionally smaller blocks
+    # (a 128k-pair block at bucket=1024 would gather 17 GiB).
+    gather_budget = 2 << 30
+    d_feat = features.shape[2]
+
+    def blocks_iter():
+        t0 = time.perf_counter()
+        for row_cap, bucket, mld, ii, jj in enumerate_pair_blocks(
+            lengths, B, step, L, band=cfg.band, auto_widen=cfg.auto_widen_band
+        ):
+            cap = max(512, gather_budget // (bucket * d_feat * 8))
+            if bucket > MAX_KERNEL_SEQ_LEN and not pallas_supported(
+                bucket, cfg.band, cfg.auto_widen_band, mld
+            ):
+                # The blocked long jnp path holds [B, nB, blk, blk] cost
+                # tiles per diagonal step; keep its batches small.
+                cap = min(cap, 512)
+            for s in range(0, len(ii), cap):
+                stats["enumerate_s"] += time.perf_counter() - t0
+                yield row_cap, bucket, mld, ii[s : s + cap], jj[s : s + cap]
+                t0 = time.perf_counter()
+
+    total_pairs = n_all_pairs
+    done_pairs = 0
 
     # In-flight results for pipelining: keep a sliding window of dispatched
     # blocks and sync only the oldest when the window is full, so the device
@@ -339,8 +380,11 @@ def all_pairs_distances(
                 lambda: np.asarray(dispatch())[: len(ii)], max_retries, exc
             )
         stats["collect_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # Upper-triangle scatter only; one vectorized D + D.T symmetrization
+        # at the end replaces the second 50M-element random scatter.
         D[ii, jj] = vals
-        D[jj, ii] = vals
+        stats["scatter_s"] += time.perf_counter() - t0
         if path is not None:
             t0 = time.perf_counter()
             np.savez(path, ii=ii, jj=jj, d=vals)
@@ -353,15 +397,14 @@ def all_pairs_distances(
         while pending:
             collect_one()
 
-    for bi, (row_cap, bucket, mld, ii, jj) in enumerate(blocks):
+    for bi, (row_cap, bucket, mld, ii, jj) in enumerate(blocks_iter()):
+        stats["blocks"] += 1
         path = None
         if block_dir is not None:
             path = block_dir / (_block_key(ii, jj, cfg_tag) + ".npz")
             if path.exists():
                 saved = np.load(path)
-                vals = saved["d"]
-                D[saved["ii"], saved["jj"]] = vals
-                D[saved["jj"], saved["ii"]] = vals
+                D[saved["ii"], saved["jj"]] = saved["d"]
                 done_pairs += len(ii)
                 if progress:
                     progress(done_pairs, total_pairs)
@@ -425,4 +468,7 @@ def all_pairs_distances(
         if len(pending) >= 6 * len(devices):
             collect_one()
     drain()
+    # Pairs scatter into one triangle each (orientation varies per block);
+    # the matrix is their disjoint union, so D + D.T symmetrizes exactly.
+    D += D.T
     return D

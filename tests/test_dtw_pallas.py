@@ -145,28 +145,30 @@ def _stripe_case(rng, n, len_range, pad_to, d=6):
 
 @pytest.mark.parametrize("metric", ["euclidean", "sqeuclidean", "cosine"])
 def test_stripe_kernel_matches_oracle(rng, metric):
-    """S=256 banded pairs route to the band-limited stripe kernel."""
+    """S=512 banded pairs route to the band-limited stripe kernel (the
+    stripe needs a >= 4x width reduction to win — measured on hardware)."""
     from audio_pattern_discovery_tpu.ops.dtw_pallas import stripe_width
 
-    sa, sb, a, b, la, lb = _stripe_case(rng, 5, (200, 256), 256)
+    sa, sb, a, b, la, lb = _stripe_case(rng, 4, (460, 512), 512)
     mld = int(np.abs(la - lb).max())
-    assert stripe_width(256, 16, True, mld) == 128, "must take the stripe path"
+    assert stripe_width(512, 16, True, mld) == 128, "must take the stripe path"
+    assert stripe_width(256, 16, True, mld) is None, "S=256 stays square"
     got = np.asarray(
         dtw_batch_pallas(
             a, b, la, lb, band=16, max_len_diff=mld, metric=metric,
             interpret=True,
         )
     )
-    for p in range(5):
+    for p in range(4):
         want = dtw_oracle(sa[p], sb[p], band=16, metric=metric)
         np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
 
 
 def test_stripe_kernel_negative_and_positive_diffs(rng):
     """Stripe slots cover j-i in [-wv, wv]: mixed orientations in one batch."""
-    d, S = 4, 256
-    las = np.array([256, 200, 230, 256], np.int32)
-    lbs = np.array([200, 256, 256, 230], np.int32)
+    d, S = 4, 512
+    las = np.array([512, 456, 486, 512], np.int32)
+    lbs = np.array([456, 512, 512, 486], np.int32)
     sa = [rng.normal(0, 1, (l, d)).astype(np.float32) for l in las]
     sb = [rng.normal(0, 1, (l, d)).astype(np.float32) for l in lbs]
     a, la = pad_and_stack(sa, pad_to=S)
@@ -181,14 +183,18 @@ def test_stripe_kernel_negative_and_positive_diffs(rng):
 
 def test_stripe_kernel_short_rows_and_tail_panel(rng):
     """R < S (shorter-first orientation) with R not a multiple of the panel
-    height exercises the partial tail panel."""
+    height exercises the partial tail panel (448 rows = 3.5 x RB=128)."""
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import stripe_width
+
     d = 5
-    sa = [rng.normal(0, 1, (rng.integers(120, 160), d)).astype(np.float32) for _ in range(3)]
-    sb = [rng.normal(0, 1, (rng.integers(160, 192), d)).astype(np.float32) for _ in range(3)]
-    a, la = pad_and_stack(sa, pad_to=160)
-    b, lb = pad_and_stack(sb, pad_to=384)
+    sa = [rng.normal(0, 1, (rng.integers(435, 449), d)).astype(np.float32) for _ in range(3)]
+    sb = [rng.normal(0, 1, (rng.integers(440, 499), d)).astype(np.float32) for _ in range(3)]
+    a, la = pad_and_stack(sa, pad_to=448)
+    b, lb = pad_and_stack(sb, pad_to=512)
+    mld = int(np.abs(la.astype(int) - lb.astype(int)).max())
+    assert mld <= 63 and stripe_width(512, 10, True, mld) == 128
     got = np.asarray(
-        dtw_batch_pallas(a, b, la, lb, band=10, max_len_diff=72, interpret=True)
+        dtw_batch_pallas(a, b, la, lb, band=10, max_len_diff=mld, interpret=True)
     )
     for p in range(3):
         want = dtw_oracle(sa[p], sb[p], band=10)

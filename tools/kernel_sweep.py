@@ -70,12 +70,23 @@ def long_sweep(seq_lens: list[int]) -> int:
             log(f"S={S} {name}: {best:,.0f} pairs/s")
             return best
 
-        stripe = time_one("stripe", lambda: dtw_batch_pallas(
-            a, b, la, lb, band=BAND, normalize="path_len", max_len_diff=mld))
+        from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+            _STRIPE_PANEL_ROWS,
+            _stripe_pair_block,
+        )
+
+        pb0 = _stripe_pair_block(S, stripe_width(S, BAND, True, mld),
+                                 min(_STRIPE_PANEL_ROWS, S))
+        best = 0.0
+        for pb in (pb0, 2 * pb0, 4 * pb0):
+            rate = time_one(f"stripe PB={pb}", lambda pb=pb: dtw_batch_pallas(
+                a, b, la, lb, band=BAND, normalize="path_len",
+                max_len_diff=mld, pair_block=pb))
+            best = max(best, rate)
         if S <= MAX_KERNEL_SEQ_LEN:
             square = time_one("square", lambda: dtw_batch_pallas(
                 a, b, la, lb, band=BAND, normalize="path_len"))
-            log(f"S={S}: stripe/square = {stripe / square:.2f}x")
+            log(f"S={S}: stripe/square = {best / square:.2f}x")
     return 0
 
 

@@ -17,6 +17,11 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 N_SEQ = int(__import__("os").environ.get("APD_SCALE_N", 10_000))
+# Pairs per block: fewer/bigger blocks amortize the per-block host costs
+# (dispatch bookkeeping + device-buffer lifecycle RPCs on the tunnel); the
+# gathered [B, L, d] operands cap how big a block the in-flight window can
+# hold in HBM.
+PAIR_BATCH = int(__import__("os").environ.get("APD_SCALE_BATCH", 32_768))
 SEQ_LEN = 128
 LATENT_DIM = 16
 BAND = 16
@@ -38,7 +43,7 @@ def main() -> int:
     rng = np.random.default_rng(0)
     feats = rng.normal(0, 1, (N_SEQ, SEQ_LEN, LATENT_DIM)).astype(np.float32)
     lengths = rng.integers(SEQ_LEN // 2, SEQ_LEN + 1, N_SEQ).astype(np.int32)
-    cfg = DTWConfig(band=BAND, pair_batch=32_768, max_seq_len=SEQ_LEN)
+    cfg = DTWConfig(band=BAND, pair_batch=PAIR_BATCH, max_seq_len=SEQ_LEN)
 
     n_pairs = N_SEQ * (N_SEQ - 1) // 2
     t_last = [time.time()]
@@ -63,9 +68,12 @@ def main() -> int:
         rates.append(pps)
         log(f"run {run + 1}/{n_runs}: {n_pairs:,} pairs in {wall:.1f}s = {pps:,.0f} pairs/s")
         log(
-            f"  breakdown: dispatch {stats['dispatch_s']:.1f}s, "
+            f"  breakdown: enumerate {stats['enumerate_s']:.1f}s, "
+            f"dispatch {stats['dispatch_s']:.1f}s, "
             f"collect-wait {stats['collect_s']:.1f}s, "
+            f"scatter {stats['scatter_s']:.1f}s, "
             f"persist {stats['persist_s']:.1f}s, "
+            f"other-host {wall - stats['enumerate_s'] - stats['dispatch_s'] - stats['collect_s'] - stats['scatter_s'] - stats['persist_s']:.1f}s, "
             f"{stats['blocks']} blocks, {stats['pad_pairs']:,} pad pairs "
             f"({100 * stats['pad_pairs'] / n_pairs:.2f}%)"
         )
