@@ -458,13 +458,32 @@ def _cluster_alignments(
     once per cluster over a handful of shapes, but full max_seq_len padding
     would square into the dirs tensor), and the member batch is chunked so
     each dispatch stays under _ALIGN_BYTES_BUDGET.  Chunks are padded to one
-    power-of-two size so the whole loop reuses a single XLA program.
+    power-of-two size so the whole loop reuses a single XLA program.  Long
+    sequences (L >= 512) switch to the checkpointed O(B*sqrt(N)*M) exact
+    backtrace (ops.backtrace_ckpt), which produces identical paths without
+    ever materializing a [B, N, M] dirs tensor.
     """
     idx_all = np.asarray(others)
     la_all = seg_lengths[np.full(len(others), exemplar)]
     lb_all = seg_lengths[idx_all]
     lmax = int(max(int(la_all.max()), int(lb_all.max()), 8))
     L = min(features.shape[1], 1 << (lmax - 1).bit_length())
+
+    if L >= 512:
+        from audio_pattern_discovery_tpu.ops.backtrace_ckpt import (
+            dtw_paths_checkpointed,
+        )
+
+        paths = dtw_paths_checkpointed(
+            features[np.full(len(others), exemplar), :L],
+            features[idx_all, :L],
+            la_all,
+            lb_all,
+            metric=cfg.dtw.metric,
+            band=cfg.dtw.band,
+            auto_widen=cfg.dtw.auto_widen_band,
+        )
+        return {m: p for m, p in zip(others, paths)}
 
     bytes_per_pair = 16 * (2 * L) * L
     chunk = max(1, _ALIGN_BYTES_BUDGET // bytes_per_pair)
