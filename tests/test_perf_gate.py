@@ -3,11 +3,12 @@
 Run on real hardware with the TPU suite:
     APD_TPU_TESTS=1 python -m pytest tests/test_perf_gate.py -q
 
-Floors are deliberately generous (the shared axon tunnel adds 1.3-4x
-run-to-run spread — memory/axon-tunnel-performance) but tight enough to
-fail on an order-of-magnitude regression: round-2 healthy numbers are
-~1.0M pairs/s kernel and >=20k frames/s streaming spectrogram.  Override
-with APD_PERF_FLOOR_PAIRS / APD_PERF_FLOOR_FRAMES for stricter CI.
+Floors are deliberately generous (the shared axon tunnel adds 1.3-4x+
+run-to-run spread — a measured bad window clocked the healthy ~1.0M pairs/s
+kernel at 244k) but tight enough to fail on an order-of-magnitude
+regression: round-2 healthy numbers are ~1.0M pairs/s kernel and >=20k
+frames/s streaming spectrogram.  Override with APD_PERF_FLOOR_PAIRS /
+APD_PERF_FLOOR_FRAMES for stricter CI on a dedicated link.
 """
 
 import os
@@ -23,8 +24,8 @@ def test_dtw_kernel_throughput_floor(rng):
 
     from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_batch_pallas
 
-    floor = float(os.environ.get("APD_PERF_FLOOR_PAIRS", 400_000))
-    B, S, d = 16_384, 128, 16
+    floor = float(os.environ.get("APD_PERF_FLOOR_PAIRS", 150_000))
+    B, S, d = 32_768, 128, 16
     lengths = rng.integers(S // 2, S + 1, B).astype(np.int32)
     a = jnp.asarray(rng.normal(0, 1, (B, S, d)).astype(np.float32))
     b = jnp.asarray(rng.normal(0, 1, (B, S, d)).astype(np.float32))
@@ -52,7 +53,7 @@ def test_spectrogram_throughput_floor(rng):
     from audio_pattern_discovery_tpu.config import SpectrogramConfig
     from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
 
-    floor = float(os.environ.get("APD_PERF_FLOOR_FRAMES", 8_000))
+    floor = float(os.environ.get("APD_PERF_FLOOR_FRAMES", 5_000))
     cfg = SpectrogramConfig()
     sigs = [
         (rng.normal(0, 0.1, 15 * 44_100) * 3276.8).clip(-32768, 32767).astype(np.int16)
