@@ -145,17 +145,18 @@ def dtw_paths_checkpointed(
 
     common = dict(metric=metric, band=band, auto_widen=auto_widen)
 
-    # Forward: store each segment's carry-in row (host copies; the device
-    # holds one [B, rows, M] cost block at a time).
-    carries: list[np.ndarray] = []
-    corners: list[np.ndarray] = []
+    # Forward: store each segment's carry-in row.  Carries stay ON DEVICE
+    # ([n_seg, B, M] f32 is tiny), so the forward loop enqueues all segment
+    # dispatches without a single host sync.
+    carries: list[jax.Array] = []
+    corners: list[jax.Array] = []
     carry = jnp.full((B, M), INF)
     corner = jnp.zeros((B,), jnp.float32)      # virtual D[-1,-1] = 0
     for s in range(n_seg):
         s0 = s * row_chunk
         rows = min(row_chunk, N - s0)
-        carries.append(np.asarray(carry))
-        corners.append(np.asarray(corner))
+        carries.append(carry)
+        corners.append(corner)
         carry, _ = _segment_pass(
             a, b, la, lb, carry, corner, jnp.int32(s0),
             rows=rows, with_dirs=False, **common,
@@ -173,7 +174,7 @@ def dtw_paths_checkpointed(
         if all(i < s0 for i, _ in pos):
             continue
         _, dirs = _segment_pass(
-            a, b, la, lb, jnp.asarray(carries[s]), jnp.asarray(corners[s]),
+            a, b, la, lb, carries[s], corners[s],
             jnp.int32(s0), rows=rows, with_dirs=True, **common,
         )
         dirs_np = np.asarray(dirs)             # [Kseg, B, M] diagonal-major

@@ -256,10 +256,10 @@ def _dtw_stripe_kernel(
     """Band-limited DTW: cost and DP in the shifted stripe frame.
 
     Stripe slot s of row i holds column j = i + s - off; off = wv_max + 1
-    keeps slot 0 permanently outside the band (+inf), which makes BOTH the
-    e-shift and the Hillis-Steele scan's circular rolls self-absorbing — the
-    whole DP loop runs mask-free on [PB, W] rows regardless of S.  Memory is
-    O(R * W) per pair (SURVEY.md SS6.7 'O(N*band)') instead of O(R * S).
+    keeps slot 0 permanently outside the band (+inf), so the DP loop runs on
+    [PB, W] rows regardless of S (the scan itself uses the masked-shift
+    idiom — see the note in _dtw_rowscan_kernel).  Memory is O(R * W) per
+    pair (SURVEY.md SS6.7 'O(N*band)') instead of O(R * S).
 
     The stripe is built panel-by-panel: a full-width MXU Gram over a
     [RB, RB + W] column window, then a log2(RB)-step variable left-roll
