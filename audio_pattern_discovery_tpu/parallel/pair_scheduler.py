@@ -461,11 +461,12 @@ def all_pairs_distances(
             fut = _with_retries(dispatch, max_retries, exc)
         stats["dispatch_s"] += time.perf_counter() - t0
         pending.append((ii, jj, dispatch, fut, path))
-        # 6-deep per device: deep enough that a slow host-side collection
-        # (scatter + persist) never drains the device queue; each in-flight
-        # block pins its gathered [B, L, d] operands in HBM, so the window
-        # is bounded, not unbounded.
-        if len(pending) >= 6 * len(devices):
+        # 10-deep per device: deep enough that host-side collection (scatter
+        # + persist) and the tunnel's dispatch latency never drain the
+        # device queue.  In-flight entries hold only the tiny output futures
+        # (the gathers live inside each compiled program), so depth costs
+        # almost nothing.
+        if len(pending) >= 10 * len(devices):
             collect_one()
     drain()
     # Pairs scatter into one triangle each (orientation varies per block);

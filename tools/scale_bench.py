@@ -21,7 +21,7 @@ N_SEQ = int(__import__("os").environ.get("APD_SCALE_N", 10_000))
 # (dispatch bookkeeping + device-buffer lifecycle RPCs on the tunnel); the
 # gathered [B, L, d] operands cap how big a block the in-flight window can
 # hold in HBM.
-PAIR_BATCH = int(__import__("os").environ.get("APD_SCALE_BATCH", 32_768))
+PAIR_BATCH = int(__import__("os").environ.get("APD_SCALE_BATCH", 131_072))
 SEQ_LEN = 128
 LATENT_DIM = 16
 BAND = 16
