@@ -264,3 +264,36 @@ def test_self_distance_precision_on_hardware(rng):
     b = jnp.asarray(rng.normal(0, 1, a.shape).astype(np.float32))
     d_dist = np.asarray(dtw_batch_pallas(aj, b, la, la, band=16))
     assert np.abs(d_self).max() < 1e-3 * d_dist.mean()
+
+
+def test_stripe_vs_square_kernel_parity(rng):
+    """The stripe and square kernels implement the same recurrence through
+    different layouts (shifted stripe + panel skew vs full row); forcing the
+    same pairs through BOTH must agree to float tolerance."""
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        _dtw_batch_stripe,
+        stripe_width,
+    )
+
+    d, S = 5, 512
+    for trial in range(3):
+        n = 4
+        sa = [rng.normal(0, 1, (rng.integers(440, 513), d)).astype(np.float32) for _ in range(n)]
+        sb = [rng.normal(0, 1, (rng.integers(440, 513), d)).astype(np.float32) for _ in range(n)]
+        a, la = pad_and_stack(sa, pad_to=S)
+        b, lb = pad_and_stack(sb, pad_to=S)
+        mld = int(np.abs(la.astype(int) - lb.astype(int)).max())
+        assert stripe_width(S, 16, True, mld) == 128
+        stripe = np.asarray(
+            _dtw_batch_stripe(
+                a, b, la, lb, metric="euclidean", band=16, auto_widen=True,
+                normalize="none", pair_block=None, max_len_diff=mld,
+                interpret=True,
+            )
+        )
+        square = np.asarray(
+            dtw_batch_pallas(
+                a, b, la, lb, band=16, max_len_diff=None, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(stripe, square, rtol=1e-3, atol=1e-3)
