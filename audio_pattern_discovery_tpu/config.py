@@ -47,8 +47,10 @@ class SpectrogramConfig:
     # Streaming tile shape for corpus extraction: [clip_batch, chunk_frames]
     # device tiles give ONE compiled program for any corpus and bound device
     # memory for hours-long recordings (BASELINE config 5; SS8 P1).
+    # chunk_frames swept on-chip: 1024 -> 67k frames/s, 2048 -> 73.6k,
+    # 4096 -> 73.6k; 2048 is the knee (fewer dispatch RPCs per corpus).
     clip_batch: int = 16
-    chunk_frames: int = 1024
+    chunk_frames: int = 2048
     # HBM budget for keeping the assembled [B, F_max, bins] corpus device-
     # resident (skips the full download + segment re-upload); corpora above
     # this assemble on host instead (bounded by host RAM, not HBM).
