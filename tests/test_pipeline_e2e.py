@@ -254,3 +254,47 @@ def test_cluster_alignments_chunked_matches_one_shot(monkeypatch):
     assert set(got) == set(others)
     for m, p in zip(others, want):
         assert got[m] == p
+
+
+def test_behavior_matches_committed_golden(tmp_path):
+    """Cross-ROUND behavioral anchor: discovery on the deterministic seed-7
+    corpus must reproduce the committed golden fingerprint (distances to
+    float tolerance, cluster partition exactly).  The anchor is recorded
+    under THIS suite's environment (8-virtual-device CPU mesh — the
+    device count changes AE gradient-reduction order, so a single-device
+    recording does not match).  If a change legitimately alters behavior,
+    re-record by running discover() under the suite env on the seed-7
+    corpus, overwrite tests/golden/GOLDEN_cpu_seed7.npz, and justify the
+    behavioral change in the commit message."""
+    import pathlib
+
+    import numpy as np
+
+    from audio_pattern_discovery_tpu.config import PipelineConfig
+    from audio_pattern_discovery_tpu.pipeline import discover
+    from audio_pattern_discovery_tpu.synthetic import make_corpus
+
+    golden_path = (
+        pathlib.Path(__file__).parent / "golden" / "GOLDEN_cpu_seed7.npz"
+    )
+    make_corpus(tmp_path / "corpus", n_clips=12, n_motifs=3, seed=7)
+    cfg = PipelineConfig()
+    cfg.dtw.band = 16
+    cfg.output.write_snippets = False
+    cfg.output.write_images = False
+    cfg.output.write_html_report = False
+    result = discover(tmp_path / "corpus", cfg)
+
+    ref = np.load(golden_path)
+    assert result.distance_matrix.shape == ref["D"].shape
+    np.testing.assert_allclose(
+        result.distance_matrix, ref["D"], rtol=1e-4, atol=1e-5
+    )
+
+    def partition(labels):
+        groups = {}
+        for i, lab in enumerate(labels):
+            groups.setdefault(int(lab), []).append(i)
+        return sorted(tuple(g) for g in groups.values())
+
+    assert partition(result.labels) == partition(ref["labels"])
