@@ -90,3 +90,21 @@ def test_pipeline_uses_checkpointed_path_for_long_sequences(rng, monkeypatch):
     )
     for m, p in zip([1, 2, 3, 4], want):
         assert got[m] == p
+
+
+def test_paths_identical_property(rng):
+    """Randomized shapes/chunks: checkpointed paths == one-shot paths for
+    every drawn configuration (lengths, dims, band, row_chunk)."""
+    for trial in range(6):
+        d = int(rng.integers(2, 9))
+        pad = int(rng.integers(12, 49))
+        band = None if trial % 2 else int(rng.integers(3, 9))
+        chunk = int(rng.integers(5, pad + 8))
+        n = int(rng.integers(1, 5))
+        sa = [rng.normal(0, 1, (rng.integers(3, pad + 1), d)).astype(np.float32) for _ in range(n)]
+        sb = [rng.normal(0, 1, (rng.integers(3, pad + 1), d)).astype(np.float32) for _ in range(n)]
+        a, la = pad_and_stack(sa, pad_to=pad)
+        b, lb = pad_and_stack(sb, pad_to=pad)
+        want = _one_shot_paths(a, b, la, lb, band=band)
+        got = dtw_paths_checkpointed(a, b, la, lb, band=band, row_chunk=chunk)
+        assert got == want, f"trial {trial}: d={d} pad={pad} band={band} chunk={chunk}"
