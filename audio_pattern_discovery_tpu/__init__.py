@@ -27,9 +27,31 @@ def _enable_compilation_cache() -> None:
         return
     import jax
 
+    # Scope the cache by a host-CPU fingerprint: XLA:CPU AOT entries embed
+    # the compile machine's feature set, and the driver may run each round
+    # on a different host — reusing another machine's entries floods stderr
+    # with "could lead to execution errors such as SIGILL" warnings (and
+    # risks exactly that).  A per-machine subdir self-heals on migration;
+    # TPU entries are machine-independent but cheap to rebuild once.
+    def _machine_tag() -> str:
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.sha1(line.encode()).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+
+        return platform.machine() or "unknown"
+
     cache_dir = _os.environ.get(
         "APD_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "apd_jax_cache"),
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", "apd_jax_cache", _machine_tag()
+        ),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -140,12 +140,13 @@ class ClusterConfig:
     # Exactly one of the two cut criteria applies; threshold wins if both set.
     distance_threshold: float | None = None
     n_clusters: int | None = None
-    # Default data-driven cut when neither is set: "gap" cuts at the largest
-    # relative jump between consecutive merge heights in the dendrogram's
-    # upper half (scale-aware: tracks the true cluster count from 50 to
-    # 2000+ segments, tested vs planted truth), falling back to the quantile
-    # rule when no jump reaches auto_cut_min_rel_gap; "quantile" always uses
-    # the quantile rule (round-1 behavior).
+    # Default data-driven cut when neither is set: "gap" cuts at the FIRST
+    # relative jump >= auto_cut_min_rel_gap between consecutive merge
+    # heights in the dendrogram's upper merge region (scale-aware: tracks
+    # the true cluster count from 50 to 2000+ segments, tested vs planted
+    # truth; the largest-gap rule was measured to fuse motifs), falling back
+    # to the quantile rule when no jump reaches the threshold; "quantile"
+    # always uses the quantile rule (round-1 behavior).
     auto_cut: str = "gap"
     # Quantile fallback: swept against planted-motif ground truth: 0.5
     # over-fragments (pairwise F1 0.21), 0.9 keeps purity 1.0 at F1 0.90 on

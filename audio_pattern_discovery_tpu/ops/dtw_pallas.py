@@ -22,24 +22,26 @@ of D in ceil(log2(live_width)) vector steps — every step a full-width
 [PB, S] VPU op.  One row per fori_loop iteration; costs for row i are read
 contiguously from the VMEM-resident Gram matrix.
 
-Two scan-cost optimizations exploit the +inf masking algebra (both are the
-difference between ~78 and ~40 VPU ops per row, measured as ~2x end-to-end):
+Both kernels run the scan in the MASKED-SHIFT form,
+`where(lanes >= sh, pltpu.roll(x, sh), x)`: Mosaic lowers that idiom to a
+cheap lane shift, while a directly-consumed circular roll takes a slow
+rotate path (a "mask-free" +inf-absorbed variant with fewer ops measured
+1.8x SLOWER on the v5e — see the in-kernel NOTE).  What the +inf masking
+algebra buys instead:
 
 * Banded scan depth: min-plus influence cannot propagate across a +inf
   cell, and a row's live cells (inside the band and both lengths) form ONE
   contiguous interval of length <= 2*wv_max+1, where wv_max is the largest
-  per-pair (auto-widened) band half-width in the batch.  The scan therefore
-  needs only ceil(log2(2*wv_max+1)) steps, not log2(S).  Callers that know
-  max|len_a-len_b| on the host (the pair scheduler does) pass it as the
-  static `max_len_diff` hint.
-* Seam absorption (mask-free scan): pltpu.roll is circular, so a naive
-  unmasked scan would leak influence across the lane-0/lane-(S-1) seam.
-  But any wrapped window contains BOTH edge cells of the row; if at least
-  one of them costs +inf, the wrapped contribution is +inf and the min
-  ignores it.  Rows where both edges are live require 2*wv >= S-1, so when
-  the static bound 2*wv_max <= S-2 holds, every roll wrap self-absorbs and
-  the scan runs with zero mask/select ops.  The wrapper verifies the bound
-  and falls back to the masked variant otherwise.
+  per-pair (auto-widened) band half-width in the batch.  A scan over that
+  interval needs only ceil(log2(2*wv_max+1)) steps, not log2(S).  Callers
+  that know max|len_a-len_b| on the host (the pair scheduler does) pass it
+  as the static `max_len_diff` hint; it also sets the stripe kernel's
+  width and extraction slot, so a bound below the true max is a
+  correctness error.
+* Seam absorption: +inf boundary cells make circular-roll leakage across
+  a seam self-absorbing — any wrapped min-plus window that crosses a
+  permanently-+inf cell contributes +inf and the min ignores it.  The
+  stripe and packed kernels lean on this for their frame boundaries.
 
 Ragged lengths and the Sakoe-Chiba band are +inf cost masks fused into the
 cost-matrix build; each pair's distance is extracted as its last valid row
@@ -560,9 +562,10 @@ def dtw_batch_pallas(
 
     `max_len_diff` is a STATIC host-side bound on max|len_a - len_b| over
     the batch (the pair scheduler computes it per block).  With auto-widen
-    banding it tightens the scan depth to the band's live width and enables
-    the mask-free seam-absorbed scan — ~2x kernel throughput.  Passing a
-    bound smaller than the true max is a correctness error.
+    banding it bounds the widened band half-width, which sets the banded
+    scan depth, the stripe kernel's width/routing, and each pair's
+    extraction slot in the stripe frame.  Passing a bound smaller than the
+    true max is a correctness error.
     """
     import chex
 

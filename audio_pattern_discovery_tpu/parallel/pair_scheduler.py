@@ -350,11 +350,18 @@ def all_pairs_distances(
             lengths, B, step, L, band=cfg.band, auto_widen=cfg.auto_widen_band
         ):
             cap = max(512, gather_budget // (bucket * d_feat * 8))
-            if bucket > MAX_KERNEL_SEQ_LEN and not pallas_supported(
-                bucket, cfg.band, cfg.auto_widen_band, mld
-            ):
-                # The blocked long jnp path holds [B, nB, blk, blk] cost
-                # tiles per diagonal step; keep its batches small.
+            # Mirror the dispatch-time routing predicate exactly: the stripe
+            # kernel only takes this bucket when use_pallas AND on-TPU AND
+            # pallas_supported all hold.  Anything else past the kernel
+            # ceiling lands on dtw_long_batch, whose [B, nB, blk, blk] cost
+            # tiles blow up with gather-budget-sized batches — keep those
+            # blocks small.
+            stripe_ok = bool(
+                cfg.use_pallas
+                and _on_tpu()
+                and pallas_supported(bucket, cfg.band, cfg.auto_widen_band, mld)
+            )
+            if bucket > MAX_KERNEL_SEQ_LEN and not stripe_ok:
                 cap = min(cap, 512)
             for s in range(0, len(ii), cap):
                 stats["enumerate_s"] += time.perf_counter() - t0

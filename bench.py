@@ -36,6 +36,14 @@ def log(msg: str) -> None:
 
 
 def main() -> int:
+    import os
+
+    if os.environ.get("APD_FORCE_CPU"):
+        # The axon TPU plugin ignores JAX_PLATFORMS (it registers from
+        # sitecustomize); force the CPU backend through the config instead.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -134,7 +142,12 @@ def main() -> int:
         from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
 
         small = 512
-        args = (a[:small], b[:small], la[:small], lb[:small])
+        args = (
+            jnp.asarray(a_np[:small]),
+            jnp.asarray(b_np[:small]),
+            jnp.asarray(la_np[:small]),
+            jnp.asarray(lb_np[:small]),
+        )
         np.asarray(dtw_batch(*args, band=BAND, normalize="path_len"))
         t0 = time.perf_counter()
         np.asarray(dtw_batch(*args, band=BAND, normalize="path_len"))
@@ -190,6 +203,8 @@ def main() -> int:
     # row 6 flags the reference as possibly rayon-parallel): single-core is
     # the metric of record for vs_baseline; the all-cores row is measured and
     # logged so the headline multiple can be stated against both.
+    mt_pairs_per_sec = None
+    ncores = 1
     if native.available():
         import os
 
@@ -244,6 +259,17 @@ def main() -> int:
         cpu_pairs_per_sec = 50_000.0  # conservative single-core estimate
 
     vs_baseline = tpu_pairs_per_sec / cpu_pairs_per_sec
+    # Self-describing multicore reading (VERDICT r2 weak #3): the metric of
+    # record is vs 1 core; the rayon-parallel interpretation of the Rust
+    # baseline is MEASURED when this host exposes >1 core, else stated as the
+    # 32-core linear projection (rayon's best case) so the JSON line carries
+    # both readings rather than only the flattering one.
+    if mt_pairs_per_sec is not None:
+        vs_multi = tpu_pairs_per_sec / mt_pairs_per_sec
+        multi_kind = f"measured_{ncores}_cores"
+    else:
+        vs_multi = tpu_pairs_per_sec / (cpu_pairs_per_sec * 32)
+        multi_kind = "projected_32_cores_linear"
     print(
         json.dumps(
             {
@@ -251,6 +277,8 @@ def main() -> int:
                 "value": round(tpu_pairs_per_sec, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 2),
+                "vs_baseline_multicore": round(vs_multi, 2),
+                "multicore_baseline_kind": multi_kind,
             }
         )
     )
