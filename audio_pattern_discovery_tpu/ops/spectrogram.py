@@ -215,13 +215,14 @@ def _spectrogram_energy_tile(signals, lengths, scales=None, **kw):
 
 
 def spectrogram_corpus(
-    sigs: list[np.ndarray],
+    sigs,
     cfg: SpectrogramConfig,
     *,
     clip_batch: int = 16,
     chunk_frames: int = 1024,
     return_device: bool = False,
-    scales: np.ndarray | None = None,
+    scales=None,
+    sig_lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray | jax.Array, np.ndarray, np.ndarray]:
     """Streaming corpus STFT with *fixed* device shapes (SURVEY.md SS8 P1).
 
@@ -239,17 +240,26 @@ def spectrogram_corpus(
     frames are bit-identical to a single-shot batched_spectrogram call
     (tested in tests/test_spectrogram.py).
     """
-    if not sigs:
+    if not len(sigs):
         raise ValueError("empty corpus")
-    if any(s.dtype != sigs[0].dtype for s in sigs):
-        raise ValueError(
-            "all clips must share a dtype; mixing int16 and float32 would "
-            "silently truncate the float clips in the int16 tile buffer"
-        )
     win, hop = cfg.win_length, cfg.hop_length
     B = len(sigs)
+    if sig_lengths is None:
+        # Eager path: dtype uniformity is checked by scanning (mixing int16
+        # and float32 would silently truncate the float clips in the int16
+        # tile buffer).  Lazy callers (pipeline streaming ingest) pass
+        # sig_lengths from WAV headers instead — their preparation step
+        # guarantees a uniform dtype by construction, and scanning here
+        # would force-load the whole corpus before the first tile.
+        if any(s.dtype != sigs[0].dtype for s in sigs):
+            raise ValueError(
+                "all clips must share a dtype; mixing int16 and float32 "
+                "would silently truncate the float clips in the int16 tile "
+                "buffer"
+            )
+        sig_lengths = np.array([len(s) for s in sigs], dtype=np.int64)
     frames_per_clip = np.array(
-        [num_frames(len(s), win, hop) for s in sigs], dtype=np.int32
+        [num_frames(int(n), win, hop) for n in sig_lengths], dtype=np.int32
     )
     F_max = int(frames_per_clip.max())
     if F_max == 0:

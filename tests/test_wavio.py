@@ -129,3 +129,83 @@ def test_extensible_int32_pcm(tmp_path, rng):
     samples, rate = read_wav(tmp_path / "ext.wav")
     assert rate == 16000
     np.testing.assert_allclose(samples, x / 2**31, atol=1e-6)
+
+
+def test_read_wav_info_matches_read_wav(tmp_path, rng):
+    """Header probe must agree with the full reader on length/rate for
+    every supported layout (mono/stereo, PCM16/float32, truncated data)."""
+    import struct
+    import wave
+
+    from audio_pattern_discovery_tpu.io.wavio import read_wav_info
+
+    # mono PCM16 via our writer
+    x = rng.uniform(-0.9, 0.9, 12_345).astype(np.float32)
+    p1 = tmp_path / "m.wav"
+    write_wav(p1, x, 16_000)
+    # stereo PCM16 via stdlib
+    inter = (rng.uniform(-0.5, 0.5, 2468) * 32767).astype("<i2")
+    p2 = tmp_path / "s.wav"
+    with wave.open(str(p2), "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(inter.tobytes())
+    # mono IEEE float32
+    fl = rng.uniform(-1, 1, 777).astype("<f4")
+    data = fl.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 22_050, 22_050 * 4, 4, 32)
+    hdr += b"data" + struct.pack("<I", len(data))
+    p3 = tmp_path / "f.wav"
+    p3.write_bytes(hdr + data)
+    # truncated: header declares more data than the file holds
+    p4 = tmp_path / "t.wav"
+    full = p1.read_bytes()
+    p4.write_bytes(full[: len(full) - 500])
+
+    for p in (p1, p2, p3, p4):
+        samples, rate = read_wav(p)
+        n, r, fmt_tag, bits = read_wav_info(p)
+        assert n == len(samples), p.name
+        assert r == rate, p.name
+    n, r, fmt_tag, bits = read_wav_info(p1)
+    assert (fmt_tag, bits) == (1, 16)
+    n, r, fmt_tag, bits = read_wav_info(p3)
+    assert (fmt_tag, bits) == (3, 32)
+
+
+def test_streaming_corpus_lazy_and_equivalent(tmp_path, rng):
+    """StreamingCorpus: headers without sample IO, chunked loading on
+    access, and clip-for-clip equality with the eager loader."""
+    from audio_pattern_discovery_tpu.io.corpus import StreamingCorpus, load_corpus
+
+    for i in range(7):
+        x = rng.uniform(-0.9, 0.9, 1000 + 100 * i).astype(np.float32)
+        write_wav(tmp_path / f"c{i}.wav", x, 16_000)
+
+    sc = StreamingCorpus(tmp_path, chunk=3)
+    assert len(sc) == 7
+    assert sc.all_pcm16
+    assert list(sc.sample_lengths) == [1000 + 100 * i for i in range(7)]
+    assert sc._loaded == 0          # nothing read yet
+    first = sc[0]
+    assert sc._loaded == 3          # one chunk
+    clips = load_corpus(tmp_path)
+    np.testing.assert_array_equal(first.samples, clips[0].samples)
+    for got, want in zip(sc.materialize(), clips):
+        assert got.path == want.path
+        assert got.sample_rate == want.sample_rate
+        np.testing.assert_array_equal(got.samples, want.samples)
+
+
+def test_streaming_corpus_empty_dir(tmp_path):
+    from audio_pattern_discovery_tpu.io.corpus import StreamingCorpus
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match=str(tmp_path)):
+        StreamingCorpus(tmp_path / "nope_dir_missing_ok_parent")
+    (tmp_path / "empty").mkdir()
+    with _pytest.raises(FileNotFoundError):
+        StreamingCorpus(tmp_path / "empty")
