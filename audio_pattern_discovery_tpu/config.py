@@ -44,6 +44,15 @@ class SpectrogramConfig:
     # (1-pass bf16, ~1e-2 — fastest, fine for exploratory runs).  The DFT is
     # the spectrogram stage's FLOP hot spot, so this is its throughput knob.
     fft_precision: str = "high"
+    # Host->device sample encoding for the streaming tiles.  "auto" ships
+    # plain-PCM16 corpora as int16 (half of f32 bandwidth, bit-exact device
+    # decode) and everything else as f32.  "mulaw8" ships 8-bit mu-law
+    # (mu=255) of the peak-normalized signal — HALF of int16 again; the
+    # ~38 dB companding SNR sits far above the -20 dB segmentation gate and
+    # the log-power feature scale, and discovery quality is gated equal to
+    # the int16 path on planted corpora (tests).  For upload-bandwidth-bound
+    # runs (hours of audio through a thin link, BASELINE config 5).
+    upload_codec: str = "auto"      # "auto" | "mulaw8"
     # Streaming tile shape for corpus extraction: [clip_batch, chunk_frames]
     # device tiles give ONE compiled program for any corpus and bound device
     # memory for hours-long recordings (BASELINE config 5; SS8 P1).
@@ -217,6 +226,10 @@ class PipelineConfig:
         check(
             sp.fft_precision in ("default", "high", "highest"),
             f"spectrogram.fft_precision={sp.fft_precision!r}",
+        )
+        check(
+            sp.upload_codec in ("auto", "mulaw8"),
+            f"spectrogram.upload_codec={sp.upload_codec!r}",
         )
         check(sp.clip_batch > 0, "spectrogram.clip_batch must be > 0")
         check(sp.chunk_frames > 0, "spectrogram.chunk_frames must be > 0")

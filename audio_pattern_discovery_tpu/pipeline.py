@@ -43,17 +43,19 @@ from audio_pattern_discovery_tpu.utils.logging import StageCounters, get_logger
 class _PreparedSignals:
     """Lazy per-clip upload preparation over a StreamingCorpus.
 
-    Element i is clip i's samples ready for the device tile buffer: int16
-    for all-PCM16 corpora (exact by the header check — read_wav is raw/32768
-    for PCM16, so round(s*32768) round-trips bit-identically), float32
-    otherwise (peak-normalized here when the device isn't doing it).  Peaks
-    record as clips load; spectrogram_corpus always pulls a tile group
-    before reading its scales slice, so _PeaksView only ever sees filled
-    values."""
+    Element i is clip i's samples ready for the device tile buffer, per
+    `codec`: "int16" for all-PCM16 corpora (exact by the header check —
+    read_wav is raw/32768 for PCM16, so round(s*32768) round-trips
+    bit-identically), "mulaw8" for 8-bit mu-law of the peak-normalized
+    signal (half of int16 again; upload-bandwidth-bound corpora), "f32"
+    otherwise (peak-normalized here when the device isn't doing it).
+    Peaks record as clips load; spectrogram_corpus always pulls a tile
+    group before reading its scales slice, so _PeaksView only ever sees
+    filled values."""
 
-    def __init__(self, stream: StreamingCorpus, to_int16: bool, normalize: bool):
+    def __init__(self, stream: StreamingCorpus, codec: str, normalize: bool):
         self._stream = stream
-        self._to_int16 = to_int16
+        self._codec = codec
         self._normalize = normalize
         self._cache: list[np.ndarray | None] = [None] * len(stream)
         self.peaks = np.ones(len(stream), np.float32)
@@ -64,11 +66,17 @@ class _PreparedSignals:
     def _get(self, i: int) -> np.ndarray:
         v = self._cache[i]
         if v is None:
+            from audio_pattern_discovery_tpu.ops.spectrogram import (
+                mulaw_encode_host,
+            )
+
             s = self._stream[i].samples
             peak = max(float(np.abs(s).max()) if len(s) else 0.0, 1e-9)
             self.peaks[i] = peak
-            if self._to_int16:
+            if self._codec == "int16":
                 v = np.round(s * 32768.0).astype(np.int16)
+            elif self._codec == "mulaw8":
+                v = mulaw_encode_host(s / peak)
             elif self._normalize:
                 v = (s / peak).astype(np.float32)
             else:
@@ -265,19 +273,30 @@ def discover(
         # /peak division matches the host's).  Plain 16-bit PCM is exactly
         # int16-representable by construction (read_wav = raw/32768), so
         # the header check suffices; anything else keeps the f32 path.
-        use_i16 = stream.all_pcm16
+        if cfg.spectrogram.upload_codec == "mulaw8":
+            codec = "mulaw8"
+        elif stream.all_pcm16:
+            codec = "int16"
+        else:
+            codec = "f32"
         sigs = _PreparedSignals(
-            stream, to_int16=use_i16, normalize=cfg.spectrogram.normalize_signal
+            stream, codec=codec, normalize=cfg.spectrogram.normalize_signal
         )
-        scales = (
-            _PeaksView(sigs)
-            if (use_i16 and cfg.spectrogram.normalize_signal)
-            else None
-        )
+        # scales semantics follow the codec (ops/spectrogram tile decode):
+        # int16 DIVIDES by peak (device-side normalization); mulaw8 signals
+        # are already peak-normalized, so scales MULTIPLY to restore
+        # amplitude only when the pipeline is NOT normalizing.
+        if codec == "int16" and cfg.spectrogram.normalize_signal:
+            scales = _PeaksView(sigs)
+        elif codec == "mulaw8" and not cfg.spectrogram.normalize_signal:
+            scales = _PeaksView(sigs)
+        else:
+            scales = None
     counters.add("clips", len(stream))
     log.info(
         f"probed headers of {len(stream)} clips"
-        + (" (PCM16: int16 device upload)" if use_i16 else "")
+        + ({"int16": " (PCM16: int16 device upload)",
+            "mulaw8": " (mu-law int8 device upload)"}.get(codec, ""))
     )
 
     # ---- L1: spectrograms (device, fixed-shape streaming tiles) ---------

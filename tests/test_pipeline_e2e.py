@@ -298,3 +298,49 @@ def test_behavior_matches_committed_golden(tmp_path):
         return sorted(tuple(g) for g in groups.values())
 
     assert partition(result.labels) == partition(ref["labels"])
+
+
+def test_mulaw8_upload_quality_parity(tmp_path):
+    """upload_codec="mulaw8" (half-of-int16 bandwidth) must preserve
+    discovery quality on a planted corpus: same purity gate and the same
+    label partition as the default int16 path (VERDICT r2 item 3)."""
+    corpus_dir = tmp_path / "corpus"
+    truth = make_corpus(
+        corpus_dir, n_clips=10, n_motifs=3, occurrences_per_clip=2,
+        clip_seconds=2.0, sample_rate=16_000, seed=7,
+    )
+    cfg_ref = _small_config(False)
+    cfg_mu = _small_config(False)
+    cfg_mu.spectrogram.upload_codec = "mulaw8"
+    r_ref = discover(corpus_dir, cfg_ref)
+    r_mu = discover(corpus_dir, cfg_mu)
+
+    assert _cluster_purity(r_mu, truth) >= 0.9
+    assert len(r_mu.segments) == len(r_ref.segments)
+
+    def partition(res):
+        groups = {}
+        for seg, lab in enumerate(res.labels):
+            groups.setdefault(int(lab), []).append(seg)
+        return sorted(tuple(g) for g in groups.values())
+
+    assert partition(r_mu) == partition(r_ref)
+
+
+def test_mulaw_codec_roundtrip():
+    """Companding accuracy: ~38 dB SNR on full-scale content and exact zero
+    preservation (silence stays silence through the segmentation gate)."""
+    from audio_pattern_discovery_tpu.ops.spectrogram import (
+        mulaw_decode_device,
+        mulaw_encode_host,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 20_000).astype(np.float32)
+    q = mulaw_encode_host(x)
+    assert q.dtype == np.int8
+    y = np.asarray(mulaw_decode_device(q))
+    snr_db = 10 * np.log10(np.mean(x**2) / np.mean((x - y) ** 2))
+    assert snr_db >= 30.0, f"mu-law SNR {snr_db:.1f} dB"
+    assert mulaw_encode_host(np.zeros(8, np.float32)).tolist() == [0] * 8
+    assert np.asarray(mulaw_decode_device(np.zeros(8, np.int8))).tolist() == [0.0] * 8
