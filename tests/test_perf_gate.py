@@ -3,11 +3,13 @@
 Run on real hardware with the TPU suite:
     APD_TPU_TESTS=1 python -m pytest tests/test_perf_gate.py -q
 
-Floors are deliberately generous (the shared axon tunnel adds 1.3-4x+
-run-to-run spread — a measured bad window clocked the healthy ~1.0M pairs/s
-kernel at 244k) but tight enough to fail on an order-of-magnitude
-regression: round-2 healthy numbers are ~1.0M pairs/s kernel and >=20k
-frames/s streaming spectrogram.  Override with APD_PERF_FLOOR_PAIRS /
+Floors sized to the measured noise band of best-of-3 PIPELINED windows
+(VERDICT r2 weak #2): across every recorded round-1/2/3 run the measured
+BEST window never dropped below ~500k pairs/s / ~45k frames/s even during
+documented 4x-bad tunnel weather (single synchronized calls do drop to
+~244k, but the gates measure pipelined windows, which ride out per-call
+stalls).  Floors of 450k / 25k therefore catch a real 2x+ regression while
+staying out of the weather.  Override with APD_PERF_FLOOR_PAIRS /
 APD_PERF_FLOOR_FRAMES for stricter CI on a dedicated link.
 """
 
@@ -24,7 +26,7 @@ def test_dtw_kernel_throughput_floor(rng):
 
     from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_batch_pallas
 
-    floor = float(os.environ.get("APD_PERF_FLOOR_PAIRS", 150_000))
+    floor = float(os.environ.get("APD_PERF_FLOOR_PAIRS", 450_000))
     B, S, d = 32_768, 128, 16
     lengths = rng.integers(S // 2, S + 1, B).astype(np.int32)
     a = jnp.asarray(rng.normal(0, 1, (B, S, d)).astype(np.float32))
@@ -53,7 +55,7 @@ def test_spectrogram_throughput_floor(rng):
     from audio_pattern_discovery_tpu.config import SpectrogramConfig
     from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
 
-    floor = float(os.environ.get("APD_PERF_FLOOR_FRAMES", 5_000))
+    floor = float(os.environ.get("APD_PERF_FLOOR_FRAMES", 25_000))
     cfg = SpectrogramConfig()
     sigs = [
         (rng.normal(0, 0.1, 15 * 44_100) * 3276.8).clip(-32768, 32767).astype(np.int16)

@@ -205,7 +205,29 @@ def build_wavefront_packed(a, b, la, lb, band, wv_max):
 # ---------------------------------------------------------------------------
 
 
-def _pk_rowscan_kernel(cm_ref, ex_ref, p0_ref, out_ref, *, rows, scan_steps):
+def _left_shift_1(x, gl, W, idiom):
+    """lane m <- x[m+1] (a LEFT shift).  The square kernel never needs one
+    (all its reads are right-shifts, which Mosaic lowers cheaply); the
+    packed frames need exactly one per row, and the first probe run showed
+    the masked W-1 roll costs ~15-20us/op — hence these idiom variants."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    if idiom == "maskroll":      # round-3 first attempt: W-1 circular roll
+        return jnp.where(gl < W - 1, pltpu.roll(x, W - 1, axis=1), INF)
+    if idiom == "negroll":       # negative shift, if Mosaic lowers it as one
+        return jnp.where(gl < W - 1, pltpu.roll(x, -1, axis=1), INF)
+    if idiom == "slice":         # unaligned lane slice + pad
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((x.shape[0], 1), INF, x.dtype)], axis=1
+        )
+    if idiom == "none":          # WRONG results; isolates the shift's cost
+        return x
+    raise ValueError(idiom)
+
+
+def _pk_rowscan_kernel(cm_ref, ex_ref, p0_ref, out_ref, scr_ref, *, rows,
+                      scan_steps, upshift, scratch_copy, dp_repeats=1):
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -215,11 +237,14 @@ def _pk_rowscan_kernel(cm_ref, ex_ref, p0_ref, out_ref, *, rows, scan_steps):
     gl = jax.lax.broadcasted_iota(jnp.int32, (G, W), dimension=1)
     ex = ex_ref[:]
     prev0 = jnp.broadcast_to(p0_ref[:], (G, W))
+    if scratch_copy:
+        scr_ref[:] = cm_ref[:]
+    src = scr_ref if scratch_copy else cm_ref
 
     def body(i, carry):
         prev, out = carry
-        c = cm_ref[:, i, :]
-        up = jnp.where(gl < W - 1, pltpu.roll(prev, W - 1, axis=1), INF)
+        c = src[:, i, :]
+        up = _left_shift_1(prev, gl, W, upshift)
         e = c + jnp.minimum(prev, up)
         ee, cc = e, c
         for t in range(scan_steps):
@@ -233,12 +258,27 @@ def _pk_rowscan_kernel(cm_ref, ex_ref, p0_ref, out_ref, *, rows, scan_steps):
         out = jnp.where(i == ex, ee, out)
         return ee, out
 
-    init = (prev0, jnp.full((G, W), INF))
-    _, out = jax.lax.fori_loop(0, rows, body, init)
+    # dp_repeats re-runs the whole DP over the resident block: the block
+    # DMA amortizes across repeats, so the slope of time vs repeats
+    # isolates the DP's true per-iteration cost from the input pipeline
+    # (which the first probe runs were actually measuring).  Each repeat's
+    # init carries a value-neutral data dependency on the previous out so
+    # the compiler cannot hoist the loop (out may hold +inf, so the usual
+    # x*0 trick would make NaNs; isfinite-gating keeps it exactly 0).
+    def dp(_, carry):
+        _, prev_out = carry
+        dep = jnp.where(jnp.isfinite(prev_out), prev_out, 0.0) * 0.0
+        init = (prev0 + dep, jnp.full((G, W), INF))
+        return jax.lax.fori_loop(0, rows, body, init)
+
+    _, out = jax.lax.fori_loop(
+        0, dp_repeats, dp, (prev0, jnp.full((G, W), INF))
+    )
     out_ref[:] = out
 
 
-def _pk_wavefront_kernel(cm_ref, ex_ref, p0_ref, out_ref, *, n_iter, par0):
+def _pk_wavefront_kernel(cm_ref, ex_ref, p0_ref, out_ref, scr_ref, *, n_iter,
+                        par0, upshift, scratch_copy, dp_repeats=1):
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -248,12 +288,16 @@ def _pk_wavefront_kernel(cm_ref, ex_ref, p0_ref, out_ref, *, n_iter, par0):
     gl = jax.lax.broadcasted_iota(jnp.int32, (G, W), dimension=1)
     D2 = jnp.broadcast_to(p0_ref[:], (G, W))
     D1 = jnp.full((G, W), INF)
+    ex = ex_ref[:]
+    if scratch_copy:
+        scr_ref[:] = cm_ref[:]
+    src = scr_ref if scratch_copy else cm_ref
 
     def left(x):    # lane m reads x[m-1]
         return jnp.where(gl >= 1, pltpu.roll(x, 1, axis=1), INF)
 
     def right(x):   # lane m reads x[m+1]
-        return jnp.where(gl < W - 1, pltpu.roll(x, W - 1, axis=1), INF)
+        return _left_shift_1(x, gl, W, upshift)
 
     def step(k, c, D1, D2, parity):
         # parity-0 rows read D1[m], D1[m-1]; parity-1 read D1[m], D1[m+1]
@@ -263,23 +307,72 @@ def _pk_wavefront_kernel(cm_ref, ex_ref, p0_ref, out_ref, *, n_iter, par0):
     def body(kk, carry):
         D1, D2, out = carry
         k0 = 2 * kk
-        d0 = step(k0, cm_ref[:, k0, :], D1, D2, par0)
-        out = jnp.where(k0 == ex_ref[:], d0, out)
-        d1 = step(k0 + 1, cm_ref[:, k0 + 1, :], d0, D1, 1 - par0)
-        out = jnp.where(k0 + 1 == ex_ref[:], d1, out)
+        d0 = step(k0, src[:, k0, :], D1, D2, par0)
+        out = jnp.where(k0 == ex, d0, out)
+        d1 = step(k0 + 1, src[:, k0 + 1, :], d0, D1, 1 - par0)
+        out = jnp.where(k0 + 1 == ex, d1, out)
         return d1, d0, out
 
-    init = (D1, D2, jnp.full((G, W), INF))
-    _, _, out = jax.lax.fori_loop(0, n_iter, body, init)
+    def dp(_, carry):
+        _, _, prev_out = carry
+        dep = jnp.where(jnp.isfinite(prev_out), prev_out, 0.0) * 0.0
+        init = (D1 + dep, D2 + dep, jnp.full((G, W), INF))
+        return jax.lax.fori_loop(0, n_iter, body, init)
+
+    _, _, out = jax.lax.fori_loop(
+        0, dp_repeats, dp, (D1, D2, jnp.full((G, W), INF))
+    )
     out_ref[:] = out
 
 
+def _pk_dma_kernel(cm_ref, ex_ref, p0_ref, out_ref, scr_ref, *, n_reads):
+    """Pure input-pipeline probe: touch the whole block, ~zero compute."""
+    import jax.numpy as jnp
+
+    K = cm_ref.shape[1]
+    acc = cm_ref[:, 0, :]
+    step = max(1, K // max(1, n_reads))
+    for k in range(step, K, step):
+        acc = jnp.minimum(acc, cm_ref[:, k, :])
+    out_ref[:] = acc
+
+
+def _feat_dma_kernel(a_ref, b_ref, out_ref, *, n_reads):
+    """Feature-block input-pipeline probe: touch both operands, no compute."""
+    import jax.numpy as jnp
+
+    R = a_ref.shape[2]
+    acc = a_ref[:, :, 0:1] + b_ref[:, :, 0:1]
+    step = max(1, R // max(1, n_reads))
+    for r in range(step, R, step):
+        acc = jnp.minimum(acc, a_ref[:, :, r : r + 1] + b_ref[:, :, r : r + 1])
+    out_ref[:] = acc[:, :, 0]
+
+
 def _run_packed(kernel, cm, ex, p0, pbg, interpret=False, **kw):
+    """NOTE: jitted end-to-end — the first probe runs dispatched the pads
+    and the pallas_call as separate EAGER ops, so each timing iteration paid
+    several ~27 ms tunnel RPC floors and the numbers measured the link, not
+    the kernel (159-382k "pairs/s" at every variant).  One jitted program =
+    one dispatch, like the square reference path."""
+    import jax
+
+    key = tuple(sorted(kw.items()))
+    return _run_packed_jit(kernel, cm, ex, p0, pbg=pbg, interpret=interpret,
+                           vkey=key)
+
+
+@partial(
+    __import__("jax").jit,
+    static_argnames=("kernel", "pbg", "interpret", "vkey"),
+)
+def _run_packed_jit(kernel, cm, ex, p0, *, pbg, interpret, vkey):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    kw = dict(vkey)
     G, K, W = cm.shape
     pad = (-G) % pbg
     if pad:
@@ -287,8 +380,10 @@ def _run_packed(kernel, cm, ex, p0, pbg, interpret=False, **kw):
         ex = jnp.pad(ex, ((0, pad), (0, 0)), constant_values=-1)
     Gp = G + pad
 
+    scr_k = K if kw.get("scratch_copy") else 8  # dummy-small when unused
     out = pl.pallas_call(
         partial(kernel, **kw),
+        scratch_shapes=[pltpu.VMEM((pbg, scr_k, W), jnp.float32)],
         grid=(Gp // pbg,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -345,11 +440,18 @@ def time_pipelined(fn, n_pairs, label):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe", default="all",
-                    choices=["all", "rowscan", "wavefront", "square"])
+                    choices=["all", "rowscan", "wavefront", "square", "dma",
+                             "dmafeat"])
     ap.add_argument("--ddmax", type=int, default=16)
     ap.add_argument("--pbg", type=int, default=128)
     ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--check-only", action="store_true")
+    ap.add_argument("--upshift", default="slice",
+                    help="comma list: maskroll,negroll,slice,none")
+    ap.add_argument("--scratch-copy", action="store_true")
+    ap.add_argument("--dp-repeats", default="1",
+                    help="comma list of DP repeat counts to sweep")
+    ap.add_argument("--time-build", action="store_true")
     args = ap.parse_args()
 
     import os
@@ -379,6 +481,79 @@ def main() -> int:
     )
 
     results = {}
+    if args.probe == "dmafeat":
+        import jax as _jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        at = jnp.transpose(a, (0, 2, 1))      # [B, d, S] time-minor
+        bt = jnp.transpose(b, (0, 2, 1))
+        np.asarray(at); np.asarray(bt)
+        d = at.shape[1]
+        for pbf in (128, 256, 1024):
+            @partial(_jax.jit, static_argnames=("pbf",))
+            def run_f(at, bt, pbf):
+                return pl.pallas_call(
+                    partial(_feat_dma_kernel, n_reads=8),
+                    grid=(B // pbf,),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                    in_specs=[
+                        pl.BlockSpec((pbf, d, SEQ_LEN), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((pbf, d, SEQ_LEN), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((pbf, d), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=_jax.ShapeDtypeStruct((B, d), jnp.float32),
+                )(at, bt)
+            gb = (at.size + bt.size) * 4 / 1e9
+            r = time_pipelined(lambda: run_f(at, bt, pbf), B,
+                               f"featdma pbf={pbf}")
+            log(f"  -> {gb * r / B:.2f} GB/s feature input bandwidth")
+        return 0
+    if args.probe == "dma":
+        cm, ex, p0, lane_e, P, w_sub = build_rowscan_packed(
+            a, b, la, lb, BAND, wv_max)
+        np.asarray(cm)
+        gb = cm.size * 4 / 1e9
+        # plain-XLA read rate on the same array (layout vs pallas pipeline)
+        xsum = jax.jit(jnp.sum)
+        t0 = time.perf_counter()
+        np.asarray(xsum(cm))
+        log(f"  xla sum compile+warm {time.perf_counter() - t0:.1f}s")
+        for _ in range(2):
+            np.asarray(xsum(cm))
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [xsum(cm) for _ in range(ITERS)]
+            for o in outs:
+                np.asarray(o)
+            best = max(best, gb * ITERS / (time.perf_counter() - t0))
+        log(f"  xla jnp.sum read rate: {best:.2f} GB/s")
+        # contiguous fresh array (rules out a pathological layout from
+        # pad/transpose/reshape in the build)
+        cm2 = jnp.zeros(cm.shape, jnp.float32) + 1.0
+        np.asarray(cm2[0, 0, 0])
+        for _ in range(2):
+            np.asarray(xsum(cm2))
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [xsum(cm2) for _ in range(ITERS)]
+            for o in outs:
+                np.asarray(o)
+            best = max(best, gb * ITERS / (time.perf_counter() - t0))
+        log(f"  xla jnp.sum read rate (fresh zeros+1): {best:.2f} GB/s")
+        for n_reads in (2, 16, 128):
+            def run_d(n_reads=n_reads):
+                return _run_packed(_pk_dma_kernel, cm, ex, p0, args.pbg,
+                                   interpret=not on_tpu, n_reads=n_reads)
+            r = time_pipelined(run_d, B, f"dma n_reads={n_reads}")
+            log(f"  -> {gb * r / B:.2f} GB/s effective input bandwidth")
+        return 0
     if args.probe in ("all", "square"):
         def run_sq():
             return dtw_batch_pallas(a, b, la, lb, band=BAND,
@@ -397,7 +572,9 @@ def main() -> int:
         def run_rs():
             return _run_packed(
                 _pk_rowscan_kernel, cm, ex, p0, args.pbg,
-                interpret=not on_tpu, rows=SEQ_LEN, scan_steps=scan_steps)
+                interpret=not on_tpu, rows=SEQ_LEN, scan_steps=scan_steps,
+                upshift=args.upshift.split(",")[0],
+                scratch_copy=args.scratch_copy)
 
         out = np.asarray(run_rs())
         got = out.reshape(-1)[
@@ -406,7 +583,7 @@ def main() -> int:
         ok = np.allclose(got, ref, rtol=1e-5, atol=1e-5)
         log(f"  rowscan parity vs square: {'OK' if ok else 'MISMATCH'} "
             f"(max abs diff {np.max(np.abs(got - ref)):.2e})")
-        if not args.check_only:
+        if not args.check_only and args.time_build:
             build = jax.jit(partial(_rowscan_cm, band=BAND, wv_max=wv_max))
             time_pipelined(lambda: build(a, b, la, lb), B, "rowscan XLA build")
         if not ok:
@@ -415,7 +592,16 @@ def main() -> int:
                 log(f"    pair {i}: got {got[i]:.4f} ref {ref[i]:.4f} "
                     f"la={la[i]} lb={lb[i]}")
         if not args.check_only:
-            results["rowscan"] = time_pipelined(run_rs, B, f"rowscan P={P}")
+            for idiom in args.upshift.split(","):
+                for rep in [int(x) for x in args.dp_repeats.split(",")]:
+                    def run_v(idiom=idiom, rep=rep):
+                        return _run_packed(
+                            _pk_rowscan_kernel, cm, ex, p0, args.pbg,
+                            interpret=not on_tpu, rows=SEQ_LEN,
+                            scan_steps=scan_steps, upshift=idiom,
+                            scratch_copy=args.scratch_copy, dp_repeats=rep)
+                    results[f"rowscan:{idiom}:rep{rep}"] = time_pipelined(
+                        run_v, B, f"rowscan P={P} upshift={idiom} rep={rep}")
 
     if args.probe in ("all", "wavefront"):
         cm, ex, p0, lane_e, P, w_sub, off = build_wavefront_packed(
@@ -427,7 +613,9 @@ def main() -> int:
         def run_wf():
             return _run_packed(
                 _pk_wavefront_kernel, cm, ex, p0, args.pbg,
-                interpret=not on_tpu, n_iter=SEQ_LEN, par0=par0)
+                interpret=not on_tpu, n_iter=SEQ_LEN, par0=par0,
+                upshift=args.upshift.split(",")[0],
+                scratch_copy=args.scratch_copy)
 
         out = np.asarray(run_wf())
         got = out.reshape(-1)[(np.arange(B) // P) * 128 + lane_e]
@@ -440,9 +628,20 @@ def main() -> int:
                 log(f"    pair {i}: got {got[i]:.4f} ref {ref[i]:.4f} "
                     f"la={la[i]} lb={lb[i]}")
         if not args.check_only:
-            results["wavefront"] = time_pipelined(run_wf, B, f"wavefront P={P}")
-            build = jax.jit(partial(_wavefront_cm, band=BAND, wv_max=wv_max))
-            time_pipelined(lambda: build(a, b, la, lb), B, "wavefront XLA build")
+            for idiom in args.upshift.split(","):
+                for rep in [int(x) for x in args.dp_repeats.split(",")]:
+                    def run_v(idiom=idiom, rep=rep):
+                        return _run_packed(
+                            _pk_wavefront_kernel, cm, ex, p0, args.pbg,
+                            interpret=not on_tpu, n_iter=SEQ_LEN, par0=par0,
+                            upshift=idiom, scratch_copy=args.scratch_copy,
+                            dp_repeats=rep)
+                    results[f"wavefront:{idiom}:rep{rep}"] = time_pipelined(
+                        run_v, B, f"wavefront P={P} upshift={idiom} rep={rep}")
+            if args.time_build:
+                build = jax.jit(partial(_wavefront_cm, band=BAND, wv_max=wv_max))
+                time_pipelined(lambda: build(a, b, la, lb), B,
+                               "wavefront XLA build")
 
     if results:
         base = results.get("square")
