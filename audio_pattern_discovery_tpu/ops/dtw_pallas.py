@@ -527,6 +527,253 @@ def _dtw_batch_stripe(
     return dist
 
 
+# ---------------------------------------------------------------------------
+# All-pairs TILE kernel (round 3).
+#
+# Why: this device's observable HBM bandwidth is ~17.6 GB/s (46x below v5e
+# spec; virtualized-tunnel reality), and the per-pair square kernel ships
+# 16 KB of gathered features per pair — its ~1.0M pairs/s ceiling is the
+# memory system, not compute (BASELINE.md round-3 findings; the round-2
+# "VPU floor" was hidden input DMA).  All-pairs DTW reuses every sequence
+# ~K times, so a (ti x ti)-sequence tile-pair program loads ~2.3 MB once
+# and computes ti*ti pairs in VMEM: ~140 B/pair, a ~115x traffic cut.
+# ---------------------------------------------------------------------------
+
+
+def _dtw_tile_kernel(
+    ti_map_ref,  # scalar-prefetch [U] i32 (consumed by index_maps)
+    tj_map_ref,  # scalar-prefetch [U] i32
+    a_ref,       # [ti, da, S] f32 time-minor, channels (-2a | 1 | sqa)
+    b_ref,       # [ti, da, S] f32 time-minor, channels (b | sqb | 1)
+    la_ref,      # [ti, 1] i32
+    lb_ref,      # [ti, 1] i32
+    out_ref,     # [1, ti, nv, sv] f32 (v-blocks ride a sublane-major dim:
+                 #  dynamic-offset stores only exist there, and a block's
+                 #  last two dims must equal the array's)
+    cmat_ref,    # scratch [S, su, sv, S] f32 — subtile cost, row-major
+    ex_ref,      # scratch [su, sv, S] i32 — extraction row per (pair, lane)
+    *,
+    su: int,
+    sv: int,
+    band: int | None,
+    auto_widen: bool,
+    metric: str,
+    scan_steps: int,
+):
+    """One (ti x ti) tile-pair: per-u MXU Grams -> masked cost -> min-plus
+    row scan.  All per-pair tensors keep the natural [su, sv, S] shape —
+    Mosaic rejects reshapes that merge tiled (sublane x lane) dims, so the
+    pair dim is never flattened; scalar la_u and [sv, 1] lb reads broadcast
+    against iotas without relayouts."""
+    del ti_map_ref, tj_map_ref
+    TI = a_ref.shape[0]
+    S = a_ref.shape[2]
+    R = S
+    nv = TI // sv
+    n_sub = (TI // su) * nv
+
+    lanes3 = jax.lax.broadcasted_iota(jnp.int32, (su, sv, S), 2)
+
+    def subtile(st, _):
+        u0 = (st // nv) * su
+        v0 = (st % nv) * sv
+        b_sub = b_ref[pl.ds(v0, sv)]                     # [sv, da, S]
+        lb_sub = lb_ref[pl.ds(v0, sv)]                   # [sv, 1]
+
+        def build_u(u, _):
+            av = a_ref[u0 + u]                           # [da, S]
+            la_u = la_ref[u0 + u, 0]
+            g = jax.lax.dot_general(
+                av, b_sub,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # HIGHEST: bf16-cancellation guard (the full squared
+                # distance sqa+sqb-2ab accumulates inside this one dot via
+                # the channel augmentation, so the guard covers it all).
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # [R, sv, S]
+            ii = jax.lax.broadcasted_iota(jnp.int32, (R, sv, S), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (R, sv, S), 2)
+            if band is None:
+                wv = jnp.full((1, sv, 1), jnp.int32(S))
+            elif auto_widen:
+                wv = jnp.maximum(
+                    jnp.int32(band), jnp.abs(la_u - lb_sub)
+                )[None]
+            else:
+                wv = jnp.full((1, sv, 1), jnp.int32(band))
+            valid = (
+                (ii < la_u)
+                & (jj < lb_sub[None])
+                & (jnp.abs(jj - ii) <= wv)
+            )
+            if metric == "cosine":
+                cost = 1.0 - g
+            else:
+                sq = jnp.maximum(g, 0.0)
+                cost = jnp.sqrt(sq) if metric == "euclidean" else sq
+            cmat_ref[:, pl.ds(u, 1)] = jnp.where(valid, cost, INF)[:, None]
+            lanes2 = jax.lax.broadcasted_iota(jnp.int32, (sv, S), 1)
+            ex_u = jnp.where(lanes2 == lb_sub - 1, la_u - 1, -1)
+            ex_ref[pl.ds(u, 1)] = ex_u[None]
+            return 0
+
+        jax.lax.fori_loop(0, su, build_u, 0)
+
+        # square-frame min-plus row scan (the square kernel's recurrence;
+        # masking already lives in cmat, so the body has no validity ops)
+        ex3 = ex_ref[:]
+
+        def row_body(i, carry):
+            prev, out = carry
+            c = cmat_ref[i]                              # [su, sv, S]
+            prev_shift = jnp.where(
+                lanes3 >= 1, pltpu.roll(prev, 1, axis=2), INF
+            )
+            e = c + jnp.minimum(prev, prev_shift)
+            e = jnp.where((i == 0) & (lanes3 == 0), c, e)
+            ee, cc = e, c
+            sh = 1
+            for t in range(scan_steps):
+                mask = lanes3 >= sh
+                ee = jnp.where(
+                    mask, jnp.minimum(ee, pltpu.roll(ee, sh, axis=2) + cc), ee
+                )
+                if t < scan_steps - 1:
+                    cc = jnp.where(mask, cc + pltpu.roll(cc, sh, axis=2), cc)
+                sh *= 2
+            out = jnp.where(i == ex3, ee, out)
+            return ee, out
+
+        init = (
+            jnp.full((su, sv, S), INF),
+            jnp.full((su, sv, S), INF),
+        )
+        _, outp = jax.lax.fori_loop(0, R, row_body, init)
+        vb = st % nv
+        out_ref[0, pl.ds(u0, su), pl.ds(vb, 1), :] = (
+            jnp.min(outp, axis=2)[:, None]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_sub, subtile, 0)
+
+
+def tile_geometry(seq_len: int) -> tuple[int, int, int] | None:
+    """(ti, su, sv) for the tile kernel, or None when the padded length is
+    out of its range.  The cmat scratch is S*su*sv*S*4 bytes; su*sv shrinks
+    with S^2 so it stays ~33-67 MB under the lifted 100 MiB VMEM budget.
+    Swept on-chip at S=128: (8,32)/(8,64)/(16,32)/(16,64) -> 1.49/1.54/
+    1.54/1.53M pairs/s; (8,64) is the plateau."""
+    if seq_len <= 128:
+        return 128, 8, 64
+    if seq_len <= 256:
+        return 128, 8, 16
+    return None
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ti", "su", "sv", "band", "auto_widen", "metric",
+                     "interpret"),
+)
+def dtw_tile_pairs(
+    feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
+    lengths,      # [K] i32 (pad entries: length 1)
+    ti_idx,       # [U] i32 tile-row indices (units of ti sequences)
+    tj_idx,       # [U] i32 tile-col indices
+    *,
+    ti: int = 128,
+    su: int = 8,
+    sv: int = 64,
+    band: int | None = None,
+    auto_widen: bool = True,
+    metric: str = "euclidean",
+    interpret: bool = False,
+):
+    """DTW distances for U sequence tile-pairs -> [U, ti, ti] blocks.
+
+    Block u holds distances between sequences [ti_idx[u]*ti, ...) (rows)
+    and [tj_idx[u]*ti, ...) (cols).  UNNORMALIZED — the caller applies
+    path-length normalization with its own length vectors.  Self tile-pairs
+    compute the full square (host keeps the triangle it needs).
+    """
+    import chex
+
+    chex.assert_rank(feats, 3)
+    chex.assert_rank([lengths, ti_idx, tj_idx], 1)
+    K, S, d = feats.shape
+    if K % ti:
+        raise ValueError(f"K={K} must be padded to a multiple of ti={ti}")
+    f32 = feats.astype(jnp.float32)
+    if metric == "cosine":
+        f32 = f32 / jnp.maximum(
+            jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12
+        )
+        zeros = jnp.zeros((K, 1, S))
+        a_aug = jnp.concatenate(
+            [jnp.transpose(f32, (0, 2, 1)), zeros, zeros], axis=1
+        )
+        b_aug = jnp.concatenate(
+            [jnp.transpose(f32, (0, 2, 1)), zeros, zeros], axis=1
+        )
+    else:
+        sq = jnp.sum(f32 * f32, axis=2)                  # [K, S]
+        ones = jnp.ones((K, 1, S))
+        # Full squared distance rides ONE dot: (-2a | 1 | sqa).(b | sqb | 1)
+        a_aug = jnp.concatenate(
+            [jnp.transpose(-2.0 * f32, (0, 2, 1)), ones, sq[:, None, :]],
+            axis=1,
+        )                                                # [K, d+2, S]
+        b_aug = jnp.concatenate(
+            [jnp.transpose(f32, (0, 2, 1)), sq[:, None, :], ones], axis=1
+        )
+    la2 = lengths.astype(jnp.int32)[:, None]
+    da = d + 2
+    U = ti_idx.shape[0]
+    nv = ti // sv
+    scan_steps = max(1, (S - 1).bit_length())
+
+    kernel = partial(
+        _dtw_tile_kernel, su=su, sv=sv, band=band, auto_widen=auto_widen,
+        metric=metric, scan_steps=scan_steps,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(U,),
+        in_specs=[
+            pl.BlockSpec((ti, da, S), lambda u, im, jm: (im[u], 0, 0)),
+            pl.BlockSpec((ti, da, S), lambda u, im, jm: (jm[u], 0, 0)),
+            pl.BlockSpec((ti, 1), lambda u, im, jm: (im[u], 0)),
+            pl.BlockSpec((ti, 1), lambda u, im, jm: (jm[u], 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ti, nv, sv), lambda u, im, jm: (u, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S, su, sv, S), jnp.float32),
+            pltpu.VMEM((su, sv, S), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=jax.ShapeDtypeStruct((U, ti, nv, sv), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * U * ti * ti * S * S * da,
+            bytes_accessed=U * 2 * ti * da * S * 4 + U * ti * ti * 4,
+            transcendentals=U * ti * ti * S * S
+            if metric == "euclidean" else 0,
+        ),
+        interpret=interpret,
+    )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
+      a_aug, b_aug, la2, la2)
+    return out.reshape(U, ti, ti)
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -34,8 +34,10 @@ from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
 from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     MAX_KERNEL_SEQ_LEN,
     dtw_batch_pallas,
+    dtw_tile_pairs,
     pallas_supported,
     scan_len_diff_classes,
+    tile_geometry,
 )
 
 
@@ -272,6 +274,170 @@ def _cfg_tag(cfg: DTWConfig, features: np.ndarray, lengths: np.ndarray) -> bytes
     return h.hexdigest().encode()
 
 
+def all_pairs_distances_tiled(
+    features: np.ndarray,          # [K, L, d] padded segment features
+    lengths: np.ndarray,           # [K] true frame counts
+    cfg: DTWConfig,
+    *,
+    block_dir: str | Path | None = None,
+    progress: Callable[[int, int], None] | None = None,
+    devices: list | None = None,
+    max_retries: int = 1,
+    stats: dict | None = None,
+    chunk_programs: int = 64,
+    interpret: bool = False,
+    geometry: tuple[int, int, int] | None = None,
+) -> np.ndarray:
+    """Symmetric [K, K] DTW matrix via the all-pairs TILE kernel.
+
+    The round-3 fast path: sequences upload once as a device-resident
+    corpus; each (ti x ti) tile-pair program reuses its 2*ti sequences for
+    ti*ti pairs, cutting HBM traffic ~115x vs per-pair gathers — which is
+    the binding constraint on this device (BASELINE.md round-3 findings).
+    Dispatches go in chunks of `chunk_programs` tile-pairs with the same
+    pipelined in-flight window, chunk persistence, and retry contract as
+    the per-pair scheduler.  No length bucketing: every pair pays L rows,
+    but at ~140 B/pair of traffic the extra rows are far cheaper than the
+    16 KB/pair the bucketed gather path ships.
+    """
+    K, L, d = features.shape
+    lengths = np.asarray(lengths, dtype=np.int32)
+    if K < 2:
+        return np.zeros((K, K), dtype=np.float32)
+    geom = geometry or tile_geometry(L)
+    assert geom is not None, f"tile kernel out of range for L={L}"
+    ti, su, sv = geom
+
+    Kp = -(-K // ti) * ti
+    D = np.zeros((Kp, Kp), dtype=np.float32)
+    feats_p = np.zeros((Kp, L, d), np.float32)
+    feats_p[:K] = features
+    lens_p = np.ones((Kp,), np.int32)
+    lens_p[:K] = lengths
+    nT = Kp // ti
+
+    if devices is None:
+        devices = [jax.devices()[0]]
+    feats_dev = [jax.device_put(jnp.asarray(feats_p), dv) for dv in devices]
+    lens_dev = [jax.device_put(jnp.asarray(lens_p), dv) for dv in devices]
+
+    pairs_list = [(i, j) for i in range(nT) for j in range(i, nT)]
+    n_all_pairs = K * (K - 1) // 2
+    if stats is None:
+        stats = {}
+    stats.update(
+        dispatch_s=0.0, collect_s=0.0, scatter_s=0.0, persist_s=0.0,
+        enumerate_s=0.0, blocks=0, pad_pairs=0, pairs=n_all_pairs,
+        tiled=True, tile_programs=len(pairs_list),
+    )
+
+    if block_dir is not None:
+        block_dir = Path(block_dir)
+        block_dir.mkdir(parents=True, exist_ok=True)
+        cfg_tag = _cfg_tag(cfg, features, lengths) + b"|tiled"
+
+    # Pad the tile-pair list so every dispatch shares one compiled U shape
+    # (chunk tails repeat the last tile-pair; duplicate scatters are
+    # idempotent).
+    chunks: list[tuple[np.ndarray, np.ndarray]] = []
+    for s in range(0, len(pairs_list), chunk_programs):
+        part = pairs_list[s : s + chunk_programs]
+        while len(part) < min(chunk_programs, len(pairs_list)):
+            part = part + [part[-1]]
+        ii = np.array([p[0] for p in part], np.int32)
+        jj = np.array([p[1] for p in part], np.int32)
+        chunks.append((ii, jj))
+
+    done_programs = 0
+    total_programs = len(pairs_list)
+    norm = cfg.normalize == "path_len"
+    pending: list = []
+
+    def scatter_chunk(ii, jj, blocks):
+        # Each (I, J) appears once; diagonal tiles carry both triangles so
+        # only their strict-upper part lands in D (D += D.T at the end).
+        seen = set()
+        for u in range(len(ii)):
+            I, J = int(ii[u]), int(jj[u])
+            if (I, J) in seen:
+                continue
+            seen.add((I, J))
+            blk = blocks[u]
+            r0, c0 = I * ti, J * ti
+            if norm:
+                ls = lens_p.astype(np.float32)
+                blk = blk / (
+                    ls[r0 : r0 + ti][:, None] + ls[c0 : c0 + ti][None, :]
+                )
+            if I == J:
+                D[r0 : r0 + ti, c0 : c0 + ti][
+                    np.triu_indices(ti, k=1)
+                ] = blk[np.triu_indices(ti, k=1)]
+            else:
+                D[r0 : r0 + ti, c0 : c0 + ti] = blk
+        return len(seen)
+
+    def collect_one():
+        nonlocal done_programs
+        ii, jj, dispatch, fut, path = pending.pop(0)
+        t0 = time.perf_counter()
+        try:
+            vals = np.asarray(fut)
+        except Exception as exc:
+            vals = _with_retries(
+                lambda: np.asarray(dispatch()), max_retries, exc
+            )
+        stats["collect_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        done_programs += scatter_chunk(ii, jj, vals)
+        stats["scatter_s"] += time.perf_counter() - t0
+        if path is not None:
+            t0 = time.perf_counter()
+            np.savez(path, ii=ii, jj=jj, blocks=vals)
+            stats["persist_s"] += time.perf_counter() - t0
+        if progress:
+            progress(done_programs, total_programs)
+
+    for ci, (ii, jj) in enumerate(chunks):
+        stats["blocks"] += 1
+        path = None
+        if block_dir is not None:
+            path = block_dir / (_block_key(ii, jj, cfg_tag) + ".npz")
+            if path.exists():
+                saved = np.load(path)
+                done_programs += scatter_chunk(
+                    saved["ii"], saved["jj"], saved["blocks"]
+                )
+                if progress:
+                    progress(done_programs, total_programs)
+                continue
+        di = ci % len(devices)
+
+        def dispatch(di=di, ii=ii, jj=jj):
+            return dtw_tile_pairs(
+                feats_dev[di], lens_dev[di],
+                jnp.asarray(ii), jnp.asarray(jj),
+                ti=ti, su=su, sv=sv,
+                band=cfg.band, auto_widen=cfg.auto_widen_band,
+                metric=cfg.metric, interpret=interpret,
+            )
+
+        t0 = time.perf_counter()
+        try:
+            fut = dispatch()
+        except Exception as exc:
+            fut = _with_retries(dispatch, max_retries, exc)
+        stats["dispatch_s"] += time.perf_counter() - t0
+        pending.append((ii, jj, dispatch, fut, path))
+        if len(pending) >= 4 * len(devices):
+            collect_one()
+    while pending:
+        collect_one()
+    D = D[:K, :K].copy()
+    D += D.T
+    return D
+
+
 def all_pairs_distances(
     features: np.ndarray,          # [K, L, d] padded segment features
     lengths: np.ndarray,           # [K] true frame counts
@@ -284,6 +450,7 @@ def all_pairs_distances(
     matmul_dtype: str | None = None,
     max_retries: int = 1,
     stats: dict | None = None,
+    tiled: bool | None = None,
 ) -> np.ndarray:
     """Symmetric [K, K] DTW distance matrix over all segment pairs.
 
@@ -299,6 +466,28 @@ def all_pairs_distances(
     """
     K, L, _ = features.shape
     lengths = np.asarray(lengths, dtype=np.int32)
+
+    # Round-3 fast path: the all-pairs TILE kernel whenever it applies
+    # (TPU, pallas on, padded length in the tile range).  `tiled` forces
+    # the choice either way (tests exercise the tile path in interpret
+    # mode on CPU).  bfloat16 matmul_dtype keeps the legacy path: the tile
+    # kernel is HIGHEST-only by design.
+    if tiled is None:
+        tiled = bool(
+            cfg.use_pallas
+            and _on_tpu()
+            and tile_geometry(L) is not None
+            and matmul_dtype is None
+            and cfg.dtype != "bfloat16"
+        )
+    if tiled:
+        return all_pairs_distances_tiled(
+            features, lengths, cfg,
+            block_dir=block_dir, progress=progress, devices=devices,
+            max_retries=max_retries, stats=stats,
+            interpret=not _on_tpu(),
+        )
+
     if cfg.length_bucketing:
         step = min(bucket_step, L)
     else:

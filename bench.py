@@ -1,15 +1,25 @@
 #!/usr/bin/env python
 """Headline benchmark (BASELINE.json metric: DTW pair alignments/sec).
 
-Workload: BASELINE config 4 shape — batched wavefront DTW with Sakoe-Chiba
-band over latent embedding sequences on a single TPU chip (Pallas kernel).
+Workload: BASELINE config 4 shape — all-pairs banded DTW over latent
+embedding sequences on a single TPU chip, measured through the round-3
+all-pairs TILE kernel (ops/dtw_pallas.dtw_tile_pairs): sequence tiles
+upload once and each (128x128)-sequence tile-pair program computes its
+16,384 pairs in VMEM.  That is the production path for the all-pairs job
+(parallel/pair_scheduler routes to it on TPU), and it exists because this
+device's HBM path (~15 GB/s observable) was the per-pair kernel's true
+ceiling — see BASELINE.md round-3 findings.  Only off-diagonal tile-pairs
+are timed, so every counted pair is a distinct real pair.
+
 Baseline: the native C++ CPU implementation (native/apd_native.cc), the
 Rust-reference-equivalent single-core hot loop, measured on this machine
-(the reference publishes no numbers and the mount was empty — SURVEY.md SS0/SS7).
+(the reference publishes no numbers and the mount was empty — SURVEY.md
+SS0/SS7).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Extra per-stage detail goes to stderr.
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "vs_baseline_multicore": N, "multicore_baseline_kind": ...}
+Extra per-stage detail (incl. the legacy per-pair kernel rate) on stderr.
 """
 
 from __future__ import annotations
@@ -107,36 +117,68 @@ def main() -> int:
             np.asarray(o)
 
     if on_tpu:
+        # ---- legacy per-pair kernel rate (stderr continuity metric) -----
         t0 = time.perf_counter()
         drain(run())  # compile + warm
-        log(f"compile+warm: {time.perf_counter() - t0:.1f}s")
-        # Per-call synchronized latency (includes the dispatch RPC floor of
-        # the tunneled backend; stderr detail only).
-        t0 = time.perf_counter()
-        for _ in range(TPU_ITERS):
-            drain(run())
-        sync_s = (time.perf_counter() - t0) / TPU_ITERS
-        log(f"sync: {BATCH / sync_s:,.0f} pairs/s ({sync_s * 1e3:.1f} ms/batch)")
-        # Steady-state throughput: keep PIPELINE_DEPTH dispatches in flight,
-        # materialize at the end — what the pair-block scheduler sees.  The
-        # tunneled backend's latency is noisy (shared link), so take the best
-        # of three measurement windows.
+        log(f"per-pair kernel compile+warm: {time.perf_counter() - t0:.1f}s")
         outs = [run() for _ in range(PIPELINE_DEPTH)]
         for o in outs:
-            drain(o)  # drain warmup wave
+            drain(o)
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(TPU_ITERS)]
+        for o in outs:
+            drain(o)
+        legacy = BATCH * TPU_ITERS / (time.perf_counter() - t0)
+        log(f"legacy per-pair square kernel: {legacy:,.0f} pairs/s "
+            "(HBM-bound at ~16 KB/pair; BASELINE.md round-3)")
+
+        # ---- headline: all-pairs TILE kernel (production path) ----------
+        from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+            dtw_tile_pairs,
+            tile_geometry,
+        )
+
+        ti, su, sv = tile_geometry(SEQ_LEN)
+        K = 17 * ti                       # corpus slice: 17 tiles
+        rng2 = np.random.default_rng(1)
+        feats = jnp.asarray(
+            rng2.normal(0, 1, (K, SEQ_LEN, LATENT_DIM)).astype(np.float32)
+        )
+        lens = jnp.asarray(
+            rng2.integers(SEQ_LEN // 2, SEQ_LEN + 1, K).astype(np.int32)
+        )
+        # off-diagonal tile-pairs only: every computed pair is distinct
+        pairs = [(i, j) for i in range(17) for j in range(i + 1, 17)]
+        U = 64
+        ii = jnp.asarray(np.array([p[0] for p in pairs[:U]], np.int32))
+        jj = jnp.asarray(np.array([p[1] for p in pairs[:U]], np.int32))
+        tile_pairs_n = U * ti * ti
+
+        def trun():
+            return dtw_tile_pairs(
+                feats, lens, ii, jj, ti=ti, su=su, sv=sv, band=BAND,
+            )
+
+        t0 = time.perf_counter()
+        np.asarray(trun())
+        log(f"tile kernel compile+warm: {time.perf_counter() - t0:.1f}s")
+        outs = [trun() for _ in range(2)]
+        for o in outs:
+            np.asarray(o)
         windows = []
         for w in range(3):
             t0 = time.perf_counter()
-            outs = [run() for _ in range(TPU_ITERS)]
+            outs = [trun() for _ in range(TPU_ITERS)]
             for o in outs:
-                drain(o)
+                np.asarray(o)
             windows.append((time.perf_counter() - t0) / TPU_ITERS)
         log(
-            "pipelined windows: "
-            + ", ".join(f"{BATCH / w:,.0f}" for w in windows)
+            "tile kernel pipelined windows: "
+            + ", ".join(f"{tile_pairs_n / w:,.0f}" for w in windows)
             + " pairs/s (reporting best)"
         )
         device_s = min(windows)
+        BATCH_EFF = tile_pairs_n
     else:
         # No TPU (debug run): fall back to the scan wavefront, still on-device.
         from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
@@ -152,8 +194,9 @@ def main() -> int:
         t0 = time.perf_counter()
         np.asarray(dtw_batch(*args, band=BAND, normalize="path_len"))
         device_s = (time.perf_counter() - t0) * (BATCH / small)
+        BATCH_EFF = BATCH
 
-    tpu_pairs_per_sec = BATCH / device_s
+    tpu_pairs_per_sec = BATCH_EFF / device_s
     log(f"device DTW: {tpu_pairs_per_sec:,.0f} pairs/s ({device_s * 1e3:.1f} ms/batch)")
 
     # ---- secondary metric: spectrogram frames/sec per chip (stderr) -------

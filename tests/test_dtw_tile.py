@@ -1,0 +1,159 @@
+"""All-pairs TILE kernel (round 3): parity with the oracle-verified scan
+path, tile-pair indexing, and the tiled scheduler path.
+
+The tile kernel exists because the per-pair gather path is HBM-bound on
+this device (~16 KB/pair at ~15 GB/s = its entire ~1.0M pairs/s ceiling;
+BASELINE.md round-3 findings); tiles reuse each sequence across ~K pairs.
+Runs in interpret mode on the CPU suite; on-hardware checks live in
+tests/test_perf_gate.py and tools/kernel_tile_diag.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+    dtw_tile_pairs,
+    tile_geometry,
+)
+
+TI, SU, SV = 16, 4, 8
+S, D = 32, 5
+
+
+def _mk(K, seed=0, min_len=6):
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(0, 1, (K, S, D)).astype(np.float32)
+    lengths = rng.integers(min_len, S + 1, K).astype(np.int32)
+    return jnp.asarray(feats), jnp.asarray(lengths)
+
+
+def _ref_block(feats, lengths, rows, cols, **kw):
+    ii = np.repeat(rows, len(cols))
+    jj = np.tile(cols, len(rows))
+    d = dtw_batch(
+        feats[ii], feats[jj], lengths[ii], lengths[jj], normalize="none", **kw
+    )
+    return np.asarray(d).reshape(len(rows), len(cols)).copy()
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(band=8, auto_widen=True, metric="euclidean"),
+        dict(band=8, auto_widen=False, metric="euclidean"),
+        dict(band=None, metric="euclidean"),
+        dict(band=8, auto_widen=True, metric="sqeuclidean"),
+        dict(band=8, auto_widen=True, metric="cosine"),
+    ],
+)
+def test_tile_kernel_matches_scan_path(kw):
+    feats, lengths = _mk(2 * TI, seed=1)
+    blocks = np.asarray(
+        dtw_tile_pairs(
+            feats, lengths,
+            jnp.asarray([0, 0, 1], jnp.int32),
+            jnp.asarray([0, 1, 1], jnp.int32),
+            ti=TI, su=SU, sv=SV, interpret=True, **kw,
+        )
+    )
+    r0 = np.arange(TI)
+    r1 = np.arange(TI, 2 * TI)
+    for u, (rows, cols) in enumerate([(r0, r0), (r0, r1), (r1, r1)]):
+        ref = _ref_block(np.asarray(feats), np.asarray(lengths), rows, cols,
+                         **kw)
+        got = blocks[u].copy()
+        if rows[0] == cols[0]:
+            # Self-pairs: the fused one-dot |a|^2+|b|^2-2ab formulation
+            # leaves an O(1e-5) cancellation residue that sqrt amplifies to
+            # ~5e-3 near zero; the scan path computes the two norm pieces
+            # separately and happens to cancel exactly.  The scheduler
+            # never consumes self-pair values (diagonal forced to 0), so
+            # only bound them here and compare the rest tightly.
+            assert np.all(np.abs(np.diag(got)) <= 2e-2)
+            np.fill_diagonal(got, 0.0)
+            np.fill_diagonal(ref, 0.0)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tile_kernel_extreme_lengths():
+    """Shortest legal sequences (length 1-2, the padding convention) and
+    full-length ones in the same tile."""
+    feats, lengths = _mk(TI, seed=2)
+    lengths = np.asarray(lengths).copy()
+    lengths[0] = 1
+    lengths[1] = 2
+    lengths[2] = S
+    lengths = jnp.asarray(lengths)
+    blocks = np.asarray(
+        dtw_tile_pairs(
+            feats, lengths, jnp.asarray([0], jnp.int32),
+            jnp.asarray([0], jnp.int32),
+            ti=TI, su=SU, sv=SV, band=8, interpret=True,
+        )
+    )
+    ref = _ref_block(np.asarray(feats), np.asarray(lengths),
+                     np.arange(TI), np.arange(TI), band=8)
+    got = blocks[0].copy()
+    # self-distances carry only the small fused-dot cancellation residue
+    assert np.all(np.abs(np.diag(got)) <= 2e-2)
+    np.fill_diagonal(got, 0.0)
+    np.fill_diagonal(ref, 0.0)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_scheduler_matches_legacy():
+    """all_pairs_distances(tiled=True) == the per-pair scheduler's D."""
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        all_pairs_distances,
+        all_pairs_distances_tiled,
+    )
+
+    feats, lengths = _mk(40, seed=3)
+    feats_np = np.asarray(feats)
+    lengths_np = np.asarray(lengths)
+    cfg = DTWConfig(band=8, normalize="path_len")
+    D_legacy = all_pairs_distances(feats_np, lengths_np, cfg, tiled=False)
+    D_tiled = all_pairs_distances_tiled(
+        feats_np, lengths_np, cfg, interpret=True, geometry=(TI, SU, SV),
+    )
+    np.testing.assert_allclose(D_tiled, D_legacy, rtol=1e-4, atol=1e-4)
+    assert np.allclose(D_tiled, D_tiled.T)
+    np.testing.assert_allclose(np.diag(D_tiled), 0.0, atol=1e-6)
+
+
+def test_tiled_scheduler_resume(tmp_path):
+    """Chunk persistence: a second run reuses saved blocks bit-for-bit."""
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        all_pairs_distances_tiled,
+    )
+
+    feats, lengths = _mk(40, seed=4)
+    cfg = DTWConfig(band=8)
+    stats1: dict = {}
+    D1 = all_pairs_distances_tiled(
+        np.asarray(feats), np.asarray(lengths), cfg, interpret=True,
+        geometry=(TI, SU, SV), block_dir=tmp_path, stats=stats1,
+        chunk_programs=2,
+    )
+    stats2: dict = {}
+    D2 = all_pairs_distances_tiled(
+        np.asarray(feats), np.asarray(lengths), cfg, interpret=True,
+        geometry=(TI, SU, SV), block_dir=tmp_path, stats=stats2,
+        chunk_programs=2,
+    )
+    np.testing.assert_array_equal(D1, D2)
+    assert stats2["dispatch_s"] == 0.0  # everything came from disk
+
+
+def test_tile_geometry_ranges():
+    assert tile_geometry(64) == (128, 8, 64)
+    assert tile_geometry(128) == (128, 8, 64)
+    assert tile_geometry(256) == (128, 8, 16)
+    assert tile_geometry(257) is None
+    assert tile_geometry(512) is None

@@ -69,3 +69,43 @@ def test_spectrogram_throughput_floor(rng):
         _, fc, _ = spectrogram_corpus(sigs, cfg, scales=scales)
         best = max(best, int(fc.sum()) / (time.perf_counter() - t0))
     assert best >= floor, f"spectrogram {best:,.0f} frames/s < floor {floor:,.0f}"
+
+
+@pytest.mark.tpu
+def test_tile_kernel_throughput_floor(rng):
+    """Round-3 all-pairs tile kernel: healthy ~1.5M pairs/s at S=128
+    (su=8, sv=64 plateau); floor 700k rides out tunnel weather while
+    catching a 2x regression."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_tile_pairs,
+        tile_geometry,
+    )
+
+    floor = float(os.environ.get("APD_PERF_FLOOR_TILE", 700_000))
+    S, d = 128, 16
+    ti, su, sv = tile_geometry(S)
+    K = 9 * ti
+    feats = jnp.asarray(rng.normal(0, 1, (K, S, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(S // 2, S + 1, K).astype(np.int32))
+    pairs = [(i, j) for i in range(9) for j in range(i + 1, 9)]
+    ii = jnp.asarray(np.array([p[0] for p in pairs[:32]], np.int32))
+    jj = jnp.asarray(np.array([p[1] for p in pairs[:32]], np.int32))
+    n = 32 * ti * ti
+
+    def run():
+        return dtw_tile_pairs(feats, lens, ii, jj, ti=ti, su=su, sv=sv,
+                              band=16)
+
+    np.asarray(run())  # compile + warm
+    for o in [run() for _ in range(2)]:
+        np.asarray(o)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(3)]
+        for o in outs:
+            np.asarray(o)
+        best = max(best, 3 * n / (time.perf_counter() - t0))
+    assert best >= floor, f"tile kernel {best:,.0f} pairs/s < floor {floor:,.0f}"
