@@ -310,16 +310,29 @@ def all_pairs_distances_tiled(
 
     Kp = -(-K // ti) * ti
     D = np.zeros((Kp, Kp), dtype=np.float32)
-    feats_p = np.zeros((Kp, L, d), np.float32)
-    feats_p[:K] = features
     lens_p = np.ones((Kp,), np.int32)
     lens_p[:K] = lengths
     nT = Kp // ti
 
     if devices is None:
         devices = [jax.devices()[0]]
-    feats_dev = [jax.device_put(jnp.asarray(feats_p), dv) for dv in devices]
+    t_up = time.perf_counter()
+    if isinstance(features, jax.Array):
+        # Already device-resident (the pipeline's AE features are): pad on
+        # device — no host round-trip of the [K, L, d] corpus.
+        feats_p = jnp.pad(
+            features.astype(jnp.float32), ((0, Kp - K), (0, 0), (0, 0))
+        )
+    else:
+        fp = np.zeros((Kp, L, d), np.float32)
+        fp[:K] = features
+        feats_p = jnp.asarray(fp)
+    feats_dev = [jax.device_put(feats_p, dv) for dv in devices]
     lens_dev = [jax.device_put(jnp.asarray(lens_p), dv) for dv in devices]
+    # honest sync so upload_s reflects the actual transfer, not its launch
+    for fd in feats_dev:
+        np.asarray(fd[0, 0, 0])
+    upload_s = time.perf_counter() - t_up
 
     pairs_list = [(i, j) for i in range(nT) for j in range(i, nT)]
     n_all_pairs = K * (K - 1) // 2
@@ -328,7 +341,7 @@ def all_pairs_distances_tiled(
     stats.update(
         dispatch_s=0.0, collect_s=0.0, scatter_s=0.0, persist_s=0.0,
         enumerate_s=0.0, blocks=0, pad_pairs=0, pairs=n_all_pairs,
-        tiled=True, tile_programs=len(pairs_list),
+        tiled=True, tile_programs=len(pairs_list), upload_s=upload_s,
     )
 
     if block_dir is not None:

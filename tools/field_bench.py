@@ -69,6 +69,11 @@ def main() -> int:
     cfg.dtw.band = 16
     cfg.output.write_snippets = False   # hours of snippets would swamp disk
     cfg.output.write_images = False
+    # APD_FIELD_CODEC=mulaw8 halves the dominant upload vs int16 (quality
+    # parity gated in tests/test_pipeline_e2e.py).
+    codec = os.environ.get("APD_FIELD_CODEC")
+    if codec:
+        cfg.spectrogram.upload_codec = codec
     cfg.validate()
 
     t0 = time.time()
@@ -88,6 +93,7 @@ def main() -> int:
         "n_clusters": len(result.clusters),
         "wall_s": round(wall, 1),
         "timings_s": {k: round(v, 1) for k, v in result.counters.timings_s.items()},
+        "upload_codec": cfg.spectrogram.upload_codec,
         **scores,
     }
     log(json.dumps(rec, indent=2))
