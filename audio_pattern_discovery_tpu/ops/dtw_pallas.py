@@ -559,9 +559,14 @@ def _dtw_tile_kernel(
     auto_widen: bool,
     metric: str,
     scan_steps: int,
+    rows: int,
 ):
     """One (ti x ti) tile-pair: per-u MXU Grams -> masked cost -> min-plus
-    row scan.  All per-pair tensors keep the natural [su, sv, S] shape —
+    row scan over `rows` DP rows (the caller bounds rows by the A-tile's
+    max length — sorted tiles make that tight) with `scan_steps` banded
+    scan depth (min-plus influence is absorbed by +inf outside the live
+    band, so depth ceil(log2(2*wv_max+1)) suffices — same argument as the
+    square kernel).  All per-pair tensors keep the natural [su, sv, S] shape —
     Mosaic rejects reshapes that merge tiled (sublane x lane) dims, so the
     pair dim is never flattened; scalar la_u and [sv, 1] lb reads broadcast
     against iotas without relayouts."""
@@ -649,7 +654,7 @@ def _dtw_tile_kernel(
             jnp.full((su, sv, S), INF),
             jnp.full((su, sv, S), INF),
         )
-        _, outp = jax.lax.fori_loop(0, R, row_body, init)
+        _, outp = jax.lax.fori_loop(0, rows, row_body, init)
         vb = st % nv
         out_ref[0, pl.ds(u0, su), pl.ds(vb, 1), :] = (
             jnp.min(outp, axis=2)[:, None]
@@ -675,7 +680,7 @@ def tile_geometry(seq_len: int) -> tuple[int, int, int] | None:
 @partial(
     jax.jit,
     static_argnames=("ti", "su", "sv", "band", "auto_widen", "metric",
-                     "interpret"),
+                     "rows", "scan_steps", "interpret"),
 )
 def dtw_tile_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -689,6 +694,8 @@ def dtw_tile_pairs(
     band: int | None = None,
     auto_widen: bool = True,
     metric: str = "euclidean",
+    rows: int | None = None,
+    scan_steps: int | None = None,
     interpret: bool = False,
 ):
     """DTW distances for U sequence tile-pairs -> [U, ti, ti] blocks.
@@ -697,6 +704,12 @@ def dtw_tile_pairs(
     and [tj_idx[u]*ti, ...) (cols).  UNNORMALIZED — the caller applies
     path-length normalization with its own length vectors.  Self tile-pairs
     compute the full square (host keeps the triangle it needs).
+
+    `rows` bounds the DP row loop (must cover every A-tile length in this
+    dispatch); `scan_steps` bounds the banded scan depth (must satisfy
+    2^scan_steps >= 2*wv_max+1 over the dispatch).  Violating either is a
+    correctness error — the tiled scheduler derives both from sorted-tile
+    length ranges.
     """
     import chex
 
@@ -732,11 +745,14 @@ def dtw_tile_pairs(
     da = d + 2
     U = ti_idx.shape[0]
     nv = ti // sv
-    scan_steps = max(1, (S - 1).bit_length())
+    if scan_steps is None:
+        scan_steps = max(1, (S - 1).bit_length())
+    if rows is None:
+        rows = S
 
     kernel = partial(
         _dtw_tile_kernel, su=su, sv=sv, band=band, auto_widen=auto_widen,
-        metric=metric, scan_steps=scan_steps,
+        metric=metric, scan_steps=scan_steps, rows=rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

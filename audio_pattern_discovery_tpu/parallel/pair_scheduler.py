@@ -310,22 +310,31 @@ def all_pairs_distances_tiled(
 
     Kp = -(-K // ti) * ti
     D = np.zeros((Kp, Kp), dtype=np.float32)
+    # Sort sequences by length: tiles then hold near-constant lengths, so
+    # each tile-pair gets a TIGHT static DP row count (the A-tile's max
+    # length) and banded scan depth (from the tile-pair's length spread) —
+    # the DP loop is ~70% of the kernel, and the average A-tile of an
+    # upper-triangle pair is the shorter one.  Blocks scatter in sorted
+    # space; one fancy-gather un-permutes D at the end.
+    perm = np.argsort(lengths, kind="stable").astype(np.int64)
+    lens_sorted = lengths[perm]
     lens_p = np.ones((Kp,), np.int32)
-    lens_p[:K] = lengths
+    lens_p[:K] = lens_sorted
     nT = Kp // ti
 
     if devices is None:
         devices = [jax.devices()[0]]
     t_up = time.perf_counter()
     if isinstance(features, jax.Array):
-        # Already device-resident (the pipeline's AE features are): pad on
-        # device — no host round-trip of the [K, L, d] corpus.
+        # Already device-resident (the pipeline's AE features are): permute
+        # and pad on device — no host round-trip of the [K, L, d] corpus.
         feats_p = jnp.pad(
-            features.astype(jnp.float32), ((0, Kp - K), (0, 0), (0, 0))
+            features.astype(jnp.float32)[jnp.asarray(perm)],
+            ((0, Kp - K), (0, 0), (0, 0)),
         )
     else:
         fp = np.zeros((Kp, L, d), np.float32)
-        fp[:K] = features
+        fp[:K] = features[perm]
         feats_p = jnp.asarray(fp)
     feats_dev = [jax.device_put(feats_p, dv) for dv in devices]
     lens_dev = [jax.device_put(jnp.asarray(lens_p), dv) for dv in devices]
@@ -333,6 +342,28 @@ def all_pairs_distances_tiled(
     for fd in feats_dev:
         np.asarray(fd[0, 0, 0])
     upload_s = time.perf_counter() - t_up
+
+    # Per-tile length ranges (pad tiles: length 1) -> per-tile-pair DP row
+    # and scan-depth requirements, quantized to at most 2x2 classes so each
+    # class is one compiled program shape.
+    tmin = np.array([lens_p[t * ti : (t + 1) * ti].min() for t in range(nT)])
+    tmax = np.array([lens_p[t * ti : (t + 1) * ti].max() for t in range(nT)])
+    full_scan = max(1, (L - 1).bit_length())
+    small_scan = min(6, full_scan)
+    r34 = min(L, ((3 * L // 4 + 7) // 8) * 8)
+
+    def pair_class(i, j):
+        rows_req = int(tmax[i])                      # A-tile = the shorter
+        rows_cls = L if rows_req > r34 else r34
+        if cfg.band is None:
+            scan_cls = full_scan
+        else:
+            wv_req = int(cfg.band)
+            if cfg.auto_widen_band:
+                wv_req = max(wv_req, int(tmax[j]) - int(tmin[i]))
+            need = max(1, (2 * min(wv_req, L) + 1 - 1).bit_length())
+            scan_cls = small_scan if need <= small_scan else full_scan
+        return rows_cls, scan_cls
 
     pairs_list = [(i, j) for i in range(nT) for j in range(i, nT)]
     n_all_pairs = K * (K - 1) // 2
@@ -349,17 +380,21 @@ def all_pairs_distances_tiled(
         block_dir.mkdir(parents=True, exist_ok=True)
         cfg_tag = _cfg_tag(cfg, features, lengths) + b"|tiled"
 
-    # Pad the tile-pair list so every dispatch shares one compiled U shape
-    # (chunk tails repeat the last tile-pair; duplicate scatters are
-    # idempotent).
-    chunks: list[tuple[np.ndarray, np.ndarray]] = []
-    for s in range(0, len(pairs_list), chunk_programs):
-        part = pairs_list[s : s + chunk_programs]
-        while len(part) < min(chunk_programs, len(pairs_list)):
-            part = part + [part[-1]]
-        ii = np.array([p[0] for p in part], np.int32)
-        jj = np.array([p[1] for p in part], np.int32)
-        chunks.append((ii, jj))
+    # Group tile-pairs by (rows, scan) class, then pad each class's chunk
+    # list so every dispatch shares one compiled U shape (chunk tails repeat
+    # the last tile-pair; duplicate scatters are idempotent).
+    by_class: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for pij in pairs_list:
+        by_class.setdefault(pair_class(*pij), []).append(pij)
+    chunks: list[tuple[np.ndarray, np.ndarray, int, int]] = []
+    for (rows_cls, scan_cls), plist in sorted(by_class.items()):
+        for s in range(0, len(plist), chunk_programs):
+            part = plist[s : s + chunk_programs]
+            while len(part) < min(chunk_programs, len(plist)):
+                part = part + [part[-1]]
+            ii = np.array([p[0] for p in part], np.int32)
+            jj = np.array([p[1] for p in part], np.int32)
+            chunks.append((ii, jj, rows_cls, scan_cls))
 
     done_programs = 0
     total_programs = len(pairs_list)
@@ -411,11 +446,14 @@ def all_pairs_distances_tiled(
         if progress:
             progress(done_programs, total_programs)
 
-    for ci, (ii, jj) in enumerate(chunks):
+    for ci, (ii, jj, rows_cls, scan_cls) in enumerate(chunks):
         stats["blocks"] += 1
         path = None
         if block_dir is not None:
-            path = block_dir / (_block_key(ii, jj, cfg_tag) + ".npz")
+            path = block_dir / (
+                _block_key(ii, jj, cfg_tag + f"|{rows_cls}|{scan_cls}".encode())
+                + ".npz"
+            )
             if path.exists():
                 saved = np.load(path)
                 done_programs += scatter_chunk(
@@ -426,13 +464,15 @@ def all_pairs_distances_tiled(
                 continue
         di = ci % len(devices)
 
-        def dispatch(di=di, ii=ii, jj=jj):
+        def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                     scan_cls=scan_cls):
             return dtw_tile_pairs(
                 feats_dev[di], lens_dev[di],
                 jnp.asarray(ii), jnp.asarray(jj),
                 ti=ti, su=su, sv=sv,
                 band=cfg.band, auto_widen=cfg.auto_widen_band,
-                metric=cfg.metric, interpret=interpret,
+                metric=cfg.metric, rows=rows_cls, scan_steps=scan_cls,
+                interpret=interpret,
             )
 
         t0 = time.perf_counter()
@@ -446,9 +486,9 @@ def all_pairs_distances_tiled(
             collect_one()
     while pending:
         collect_one()
-    D = D[:K, :K].copy()
-    D += D.T
-    return D
+    D += D.T                                   # symmetrize in sorted space
+    inv = np.argsort(perm)
+    return np.ascontiguousarray(D[np.ix_(inv, inv)])
 
 
 def all_pairs_distances(

@@ -139,38 +139,78 @@ def main() -> int:
         )
 
         ti, su, sv = tile_geometry(SEQ_LEN)
-        K = 17 * ti                       # corpus slice: 17 tiles
+        nT = 17
+        K = nT * ti                       # corpus slice: 17 tiles
         rng2 = np.random.default_rng(1)
-        feats = jnp.asarray(
-            rng2.normal(0, 1, (K, SEQ_LEN, LATENT_DIM)).astype(np.float32)
+        feats_np = rng2.normal(0, 1, (K, SEQ_LEN, LATENT_DIM)).astype(
+            np.float32
         )
-        lens = jnp.asarray(
-            rng2.integers(SEQ_LEN // 2, SEQ_LEN + 1, K).astype(np.int32)
-        )
-        # off-diagonal tile-pairs only: every computed pair is distinct
-        pairs = [(i, j) for i in range(17) for j in range(i + 1, 17)]
-        U = 64
-        ii = jnp.asarray(np.array([p[0] for p in pairs[:U]], np.int32))
-        jj = jnp.asarray(np.array([p[1] for p in pairs[:U]], np.int32))
-        tile_pairs_n = U * ti * ti
+        lens_np = rng2.integers(SEQ_LEN // 2, SEQ_LEN + 1, K).astype(np.int32)
+        # Mirror the production tiled scheduler: sequences sorted by length
+        # so each tile-pair dispatch gets a tight static DP row count and
+        # banded scan depth (2x2 classes).
+        perm = np.argsort(lens_np, kind="stable")
+        feats = jnp.asarray(feats_np[perm])
+        lens_s = lens_np[perm]
+        lens = jnp.asarray(lens_s)
+        tmin = np.array([lens_s[t * ti : (t + 1) * ti].min() for t in range(nT)])
+        tmax = np.array([lens_s[t * ti : (t + 1) * ti].max() for t in range(nT)])
+        r34 = ((3 * SEQ_LEN // 4 + 7) // 8) * 8
+        full_scan = max(1, (SEQ_LEN - 1).bit_length())
+        # Off-diagonal tile-pairs only (every computed pair is distinct),
+        # sampled with a stride across the whole upper triangle so the
+        # rows/scan class mix matches the full all-pairs job — the first-N
+        # prefix would be all short-A-tile (rows=96) pairs and overstate
+        # the rate.
+        all_pairs = [(i, j) for i in range(nT) for j in range(i + 1, nT)]
+        stride = max(1, len(all_pairs) // 64)
+        pairs = all_pairs[::stride][:64]
+        groups: dict = {}
+        for i, j in pairs:
+            rows_cls = SEQ_LEN if tmax[i] > r34 else r34
+            wv = max(BAND, int(tmax[j]) - int(tmin[i]))
+            need = max(1, (2 * min(wv, SEQ_LEN)).bit_length())
+            scan_cls = min(6, full_scan) if need <= min(6, full_scan) else full_scan
+            groups.setdefault((rows_cls, scan_cls), []).append((i, j))
+        tparts = [
+            (
+                rows_cls, scan_cls,
+                jnp.asarray(np.array([p[0] for p in ps], np.int32)),
+                jnp.asarray(np.array([p[1] for p in ps], np.int32)),
+            )
+            for (rows_cls, scan_cls), ps in sorted(groups.items())
+        ]
+        log("tile classes: " + ", ".join(
+            f"rows={r} scan={sc}: {len(ii)} tile-pairs"
+            for r, sc, ii, jjj in tparts
+        ))
+        tile_pairs_n = len(pairs) * ti * ti
 
         def trun():
-            return dtw_tile_pairs(
-                feats, lens, ii, jj, ti=ti, su=su, sv=sv, band=BAND,
-            )
+            return [
+                dtw_tile_pairs(
+                    feats, lens, ii, jjc, ti=ti, su=su, sv=sv, band=BAND,
+                    rows=rows_cls, scan_steps=scan_cls,
+                )
+                for rows_cls, scan_cls, ii, jjc in tparts
+            ]
+
+        def tdrain(outs):
+            for o in outs:
+                np.asarray(o)
 
         t0 = time.perf_counter()
-        np.asarray(trun())
+        tdrain(trun())
         log(f"tile kernel compile+warm: {time.perf_counter() - t0:.1f}s")
         outs = [trun() for _ in range(2)]
         for o in outs:
-            np.asarray(o)
+            tdrain(o)
         windows = []
         for w in range(3):
             t0 = time.perf_counter()
             outs = [trun() for _ in range(TPU_ITERS)]
             for o in outs:
-                np.asarray(o)
+                tdrain(o)
             windows.append((time.perf_counter() - t0) / TPU_ITERS)
         log(
             "tile kernel pipelined windows: "
