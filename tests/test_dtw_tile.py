@@ -157,3 +157,38 @@ def test_tile_geometry_ranges():
     assert tile_geometry(256) == (128, 8, 16)
     assert tile_geometry(257) is None
     assert tile_geometry(512) is None
+
+
+def test_tile_block_transpose_symmetry():
+    """Block (I, J) must equal block (J, I) transposed — catches any
+    row/column orientation bug in the tile indexing or extraction."""
+    feats, lengths = _mk(2 * TI, seed=5)
+    blocks = np.asarray(
+        dtw_tile_pairs(
+            feats, lengths,
+            jnp.asarray([0, 1], jnp.int32), jnp.asarray([1, 0], jnp.int32),
+            ti=TI, su=SU, sv=SV, band=8, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(blocks[0], blocks[1].T, rtol=1e-5, atol=1e-5)
+
+
+def test_tile_rows_and_scan_classes_match_full():
+    """Tight static rows/scan bounds must be value-identical to the full
+    ones whenever they satisfy the documented contracts."""
+    feats, lengths = _mk(TI, seed=6, min_len=6)
+    lengths = jnp.asarray(np.minimum(np.asarray(lengths), 24))  # rows<=24
+    full = np.asarray(dtw_tile_pairs(
+        feats, lengths, jnp.asarray([0], jnp.int32),
+        jnp.asarray([0], jnp.int32),
+        ti=TI, su=SU, sv=SV, band=4, interpret=True,
+    ))
+    # rows=24 covers every la; scan=5 covers 2*wv+1 <= 2*(4+18)+1 = 45 <= 32?
+    # no — use the safe bound: wv <= max(band, maxdd)=18 -> live 37 -> scan 6
+    # exceeds full (5 at S=32), so scan stays full; rows tightens.
+    tight = np.asarray(dtw_tile_pairs(
+        feats, lengths, jnp.asarray([0], jnp.int32),
+        jnp.asarray([0], jnp.int32),
+        ti=TI, su=SU, sv=SV, band=4, rows=24, interpret=True,
+    ))
+    np.testing.assert_array_equal(full, tight)
