@@ -3,14 +3,17 @@
 Run on real hardware with the TPU suite:
     APD_TPU_TESTS=1 python -m pytest tests/test_perf_gate.py -q
 
-Floors sized to the measured noise band of best-of-3 PIPELINED windows
-(VERDICT r2 weak #2): across every recorded round-1/2/3 run the measured
-BEST window never dropped below ~500k pairs/s / ~45k frames/s even during
-documented 4x-bad tunnel weather (single synchronized calls do drop to
-~244k, but the gates measure pipelined windows, which ride out per-call
-stalls).  Floors of 450k / 25k therefore catch a real 2x+ regression while
-staying out of the weather.  Override with APD_PERF_FLOOR_PAIRS /
-APD_PERF_FLOOR_FRAMES for stricter CI on a dedicated link.
+Floors sized to the WORST healthy best-of-3 pipelined windows actually
+recorded (round 3 re-measured this under live bad weather): across one
+day the square kernel's best window spanned 357k-1.06M pairs/s and the
+streaming spectrogram 8.6k-74k frames/s — the shared tunnel's weather
+moves even pipelined windows ~3-8x, not the ~2x round-2 assumed.  The
+tile kernel's gate is the robust one (each dispatch carries 64 tile-pair
+programs = seconds of device work, amortizing RPC turbulence; observed
+1.49-2.0M).  Floors: pairs 250k, frames 6k, tile 700k — they catch real
+multi-x regressions while riding out recorded weather.  Override with
+APD_PERF_FLOOR_PAIRS / APD_PERF_FLOOR_FRAMES / APD_PERF_FLOOR_TILE for
+stricter CI on a dedicated link.
 """
 
 import os
@@ -26,7 +29,7 @@ def test_dtw_kernel_throughput_floor(rng):
 
     from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_batch_pallas
 
-    floor = float(os.environ.get("APD_PERF_FLOOR_PAIRS", 450_000))
+    floor = float(os.environ.get("APD_PERF_FLOOR_PAIRS", 250_000))
     B, S, d = 32_768, 128, 16
     lengths = rng.integers(S // 2, S + 1, B).astype(np.int32)
     a = jnp.asarray(rng.normal(0, 1, (B, S, d)).astype(np.float32))
@@ -55,7 +58,7 @@ def test_spectrogram_throughput_floor(rng):
     from audio_pattern_discovery_tpu.config import SpectrogramConfig
     from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
 
-    floor = float(os.environ.get("APD_PERF_FLOOR_FRAMES", 25_000))
+    floor = float(os.environ.get("APD_PERF_FLOOR_FRAMES", 6_000))
     cfg = SpectrogramConfig()
     sigs = [
         (rng.normal(0, 0.1, 15 * 44_100) * 3276.8).clip(-32768, 32767).astype(np.int16)
