@@ -304,7 +304,13 @@ def all_pairs_distances_tiled(
     lengths = np.asarray(lengths, dtype=np.int32)
     if K < 2:
         return np.zeros((K, K), dtype=np.float32)
-    geom = geometry or tile_geometry(L)
+    # Mosaic requires lane-tile-friendly shapes: the kernel's dot/masks die
+    # on e.g. L=96 ("unsupported shape cast").  Pad the time dim up to the
+    # 128-multiple the geometry is built for — the per-pair length masks
+    # make pad frames free, and DP rows stay bounded by true lengths.
+    # (A test-provided geometry override keeps L as-is for interpret runs.)
+    Lp = L if geometry is not None else 128 * -(-L // 128)
+    geom = geometry or tile_geometry(Lp)
     assert geom is not None, f"tile kernel out of range for L={L}"
     ti, su, sv = geom
 
@@ -330,11 +336,11 @@ def all_pairs_distances_tiled(
         # and pad on device — no host round-trip of the [K, L, d] corpus.
         feats_p = jnp.pad(
             features.astype(jnp.float32)[jnp.asarray(perm)],
-            ((0, Kp - K), (0, 0), (0, 0)),
+            ((0, Kp - K), (0, Lp - L), (0, 0)),
         )
     else:
-        fp = np.zeros((Kp, L, d), np.float32)
-        fp[:K] = features[perm]
+        fp = np.zeros((Kp, Lp, d), np.float32)
+        fp[:K, :L] = features[perm]
         feats_p = jnp.asarray(fp)
     feats_dev = [jax.device_put(feats_p, dv) for dv in devices]
     lens_dev = [jax.device_put(jnp.asarray(lens_p), dv) for dv in devices]
@@ -348,20 +354,20 @@ def all_pairs_distances_tiled(
     # class is one compiled program shape.
     tmin = np.array([lens_p[t * ti : (t + 1) * ti].min() for t in range(nT)])
     tmax = np.array([lens_p[t * ti : (t + 1) * ti].max() for t in range(nT)])
-    full_scan = max(1, (L - 1).bit_length())
+    full_scan = max(1, (Lp - 1).bit_length())
     small_scan = min(6, full_scan)
-    r34 = min(L, ((3 * L // 4 + 7) // 8) * 8)
+    r34 = min(Lp, ((3 * Lp // 4 + 7) // 8) * 8)
 
     def pair_class(i, j):
         rows_req = int(tmax[i])                      # A-tile = the shorter
-        rows_cls = L if rows_req > r34 else r34
+        rows_cls = Lp if rows_req > r34 else r34
         if cfg.band is None:
             scan_cls = full_scan
         else:
             wv_req = int(cfg.band)
             if cfg.auto_widen_band:
                 wv_req = max(wv_req, int(tmax[j]) - int(tmin[i]))
-            need = max(1, (2 * min(wv_req, L) + 1 - 1).bit_length())
+            need = max(1, (2 * min(wv_req, Lp) + 1 - 1).bit_length())
             scan_cls = small_scan if need <= small_scan else full_scan
         return rows_cls, scan_cls
 

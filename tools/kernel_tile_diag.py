@@ -267,6 +267,7 @@ def main() -> int:
     ap.add_argument("--ntiles", type=int, default=8)
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--check-pairs", type=int, default=512)
+    ap.add_argument("--seqlen", type=int, default=SEQ_LEN)
     args = ap.parse_args()
 
     import os
@@ -283,12 +284,13 @@ def main() -> int:
     dev = jax.devices()[0]
     on_tpu = dev.platform not in ("cpu", "gpu")
     K = args.ti * args.ntiles
-    log(f"device: {dev}; K={K} ti={args.ti} su={args.su} sv={args.sv}")
+    S = args.seqlen
+    log(f"device: {dev}; K={K} S={S} ti={args.ti} su={args.su} sv={args.sv}")
 
     kk = jax.random.split(jax.random.PRNGKey(0), 2)
-    feats = jax.random.normal(kk[0], (K, SEQ_LEN, LATENT_DIM), jnp.float32)
+    feats = jax.random.normal(kk[0], (K, S, LATENT_DIM), jnp.float32)
     lengths = jax.random.randint(
-        kk[1], (K,), SEQ_LEN - args.ddmax, SEQ_LEN + 1
+        kk[1], (K,), S - args.ddmax, S + 1
     ).astype(jnp.int32)
 
     def run():
