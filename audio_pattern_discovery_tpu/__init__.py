@@ -37,10 +37,18 @@ def _enable_compilation_cache() -> None:
         import hashlib
 
         try:
+            # flags alone are too weak (same-family cloud VMs share them
+            # while LLVM's tuning detection differs, which still trips the
+            # AOT feature check); include the model name too.
+            sig = []
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        return hashlib.sha1(line.encode()).hexdigest()[:12]
+                    if line.startswith(("flags", "model name")):
+                        sig.append(line)
+                        if len(sig) == 2:
+                            break
+            if sig:
+                return hashlib.sha1("".join(sorted(sig)).encode()).hexdigest()[:12]
         except OSError:
             pass
         import platform

@@ -63,6 +63,7 @@ class StreamingCorpus:
         self.sample_rates = np.array([i[1] for i in info], dtype=np.int32)
         self.format_tags = np.array([i[2] for i in info], dtype=np.int32)
         self.bits = np.array([i[3] for i in info], dtype=np.int32)
+        self.channels = np.array([i[4] for i in info], dtype=np.int32)
         if expected_rate is not None:
             for p, r in zip(self.paths, self.sample_rates):
                 if int(r) != expected_rate:
@@ -77,9 +78,14 @@ class StreamingCorpus:
 
     @property
     def all_pcm16(self) -> bool:
-        """True when every clip is plain 16-bit PCM (the int16-upload path
-        is then exact by construction — no per-sample host check needed)."""
-        return bool(((self.format_tags == 1) & (self.bits == 16)).all())
+        """True when every clip is plain MONO 16-bit PCM (the int16-upload
+        path is then exact by construction — read_wav is raw/32768 for mono
+        PCM16).  Multichannel PCM16 is excluded: the mono downmix averages
+        channels into half-LSB values that int16 re-quantization would
+        round, silently breaking the bit-exactness contract."""
+        return bool((
+            (self.format_tags == 1) & (self.bits == 16) & (self.channels == 1)
+        ).all())
 
     def _load_upto(self, end: int) -> None:
         end = min(len(self.paths), end)

@@ -89,8 +89,9 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(x, dtype=np.float32), sample_rate
 
 
-def read_wav_info(path: str | Path) -> tuple[int, int, int, int]:
-    """Header-only probe -> (n_samples_mono, sample_rate, format_tag, bits).
+def read_wav_info(path: str | Path) -> tuple[int, int, int, int, int]:
+    """Header-only probe -> (n_samples_mono, sample_rate, format_tag, bits,
+    n_channels).
 
     Reads chunk headers and seeks past bodies, so probing an hours-long
     corpus costs milliseconds.  This is what lets the pipeline's streaming
@@ -148,7 +149,8 @@ def read_wav_info(path: str | Path) -> tuple[int, int, int, int]:
     # frames only.
     n_total = data_bytes // bytes_per
     n_samples = n_total // n_ch if n_ch > 1 else n_total
-    return int(n_samples), int(sample_rate), int(audio_format), int(bits)
+    return (int(n_samples), int(sample_rate), int(audio_format), int(bits),
+            int(n_ch))
 
 
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:

@@ -274,6 +274,44 @@ def _cfg_tag(cfg: DTWConfig, features: np.ndarray, lengths: np.ndarray) -> bytes
     return h.hexdigest().encode()
 
 
+def make_tile_pair_class_fn(
+    lens_sorted: np.ndarray,   # [nT*ti] lengths in tile order (pad: 1)
+    nT: int,
+    ti: int,
+    Lp: int,
+    band: int | None,
+    auto_widen: bool,
+) -> Callable[[int, int], tuple[int, int]]:
+    """(I, J) tile-pair -> (rows_cls, scan_cls) static-shape class.
+
+    Per-tile length ranges give each tile-pair a DP row requirement (the
+    A-tile's max length) and a banded scan-depth requirement, quantized to
+    at most 2x2 classes so each class is one compiled program shape.  The
+    bounds are correctness contracts of dtw_tile_pairs; bench.py uses this
+    same function so the headline measures the production program shapes.
+    """
+    tmin = np.array([lens_sorted[t * ti : (t + 1) * ti].min() for t in range(nT)])
+    tmax = np.array([lens_sorted[t * ti : (t + 1) * ti].max() for t in range(nT)])
+    full_scan = max(1, (Lp - 1).bit_length())
+    small_scan = min(6, full_scan)
+    r34 = min(Lp, ((3 * Lp // 4 + 7) // 8) * 8)
+
+    def pair_class(i: int, j: int) -> tuple[int, int]:
+        rows_req = int(tmax[i])                      # A-tile = the shorter
+        rows_cls = Lp if rows_req > r34 else r34
+        if band is None:
+            scan_cls = full_scan
+        else:
+            wv_req = int(band)
+            if auto_widen:
+                wv_req = max(wv_req, int(tmax[j]) - int(tmin[i]))
+            need = max(1, (2 * min(wv_req, Lp) + 1 - 1).bit_length())
+            scan_cls = small_scan if need <= small_scan else full_scan
+        return rows_cls, scan_cls
+
+    return pair_class
+
+
 def all_pairs_distances_tiled(
     features: np.ndarray,          # [K, L, d] padded segment features
     lengths: np.ndarray,           # [K] true frame counts
@@ -349,27 +387,9 @@ def all_pairs_distances_tiled(
         np.asarray(fd[0, 0, 0])
     upload_s = time.perf_counter() - t_up
 
-    # Per-tile length ranges (pad tiles: length 1) -> per-tile-pair DP row
-    # and scan-depth requirements, quantized to at most 2x2 classes so each
-    # class is one compiled program shape.
-    tmin = np.array([lens_p[t * ti : (t + 1) * ti].min() for t in range(nT)])
-    tmax = np.array([lens_p[t * ti : (t + 1) * ti].max() for t in range(nT)])
-    full_scan = max(1, (Lp - 1).bit_length())
-    small_scan = min(6, full_scan)
-    r34 = min(Lp, ((3 * Lp // 4 + 7) // 8) * 8)
-
-    def pair_class(i, j):
-        rows_req = int(tmax[i])                      # A-tile = the shorter
-        rows_cls = Lp if rows_req > r34 else r34
-        if cfg.band is None:
-            scan_cls = full_scan
-        else:
-            wv_req = int(cfg.band)
-            if cfg.auto_widen_band:
-                wv_req = max(wv_req, int(tmax[j]) - int(tmin[i]))
-            need = max(1, (2 * min(wv_req, Lp) + 1 - 1).bit_length())
-            scan_cls = small_scan if need <= small_scan else full_scan
-        return rows_cls, scan_cls
+    pair_class = make_tile_pair_class_fn(
+        lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band
+    )
 
     pairs_list = [(i, j) for i in range(nT) for j in range(i, nT)]
     n_all_pairs = K * (K - 1) // 2

@@ -49,9 +49,9 @@ class _PreparedSignals:
     bit-identically), "mulaw8" for 8-bit mu-law of the peak-normalized
     signal (half of int16 again; upload-bandwidth-bound corpora), "f32"
     otherwise (peak-normalized here when the device isn't doing it).
-    Peaks record as clips load; spectrogram_corpus always pulls a tile
-    group before reading its scales slice, so _PeaksView only ever sees
-    filled values."""
+    Peaks record (in place, into .peaks) as clips load; spectrogram_corpus
+    always pulls a tile group before slicing its scales, so passing .peaks
+    directly as the scales array is safe."""
 
     def __init__(self, stream: StreamingCorpus, codec: str, normalize: bool):
         self._stream = stream
@@ -89,17 +89,6 @@ class _PreparedSignals:
             start, stop, step = idx.indices(len(self._cache))
             return [self._get(i) for i in range(start, stop, step)]
         return self._get(idx)
-
-
-class _PeaksView:
-    """Sliceable view of _PreparedSignals.peaks (filled lazily as clips
-    load); hands spectrogram_corpus its per-group device scales."""
-
-    def __init__(self, prepared: _PreparedSignals):
-        self._prepared = prepared
-
-    def __getitem__(self, sl):
-        return self._prepared.peaks[sl]
 
 
 @dataclass
@@ -286,10 +275,13 @@ def discover(
         # int16 DIVIDES by peak (device-side normalization); mulaw8 signals
         # are already peak-normalized, so scales MULTIPLY to restore
         # amplitude only when the pipeline is NOT normalizing.
+        # sigs.peaks is filled lazily as clips load; spectrogram_corpus
+        # always pulls a tile group before slicing its scales, so passing
+        # the (in-place mutated) array directly is safe.
         if codec == "int16" and cfg.spectrogram.normalize_signal:
-            scales = _PeaksView(sigs)
+            scales = sigs.peaks
         elif codec == "mulaw8" and not cfg.spectrogram.normalize_signal:
-            scales = _PeaksView(sigs)
+            scales = sigs.peaks
         else:
             scales = None
     counters.add("clips", len(stream))

@@ -74,40 +74,34 @@ def main() -> int:
     log(f"device: {dev} ({dev.platform})")
     on_tpu = dev.platform not in ("cpu", "gpu")
 
-    # Group pairs by their |la-lb| scan-plan class, exactly as the pair
-    # scheduler does (parallel/pair_scheduler.enumerate_pair_blocks): each
-    # class gets a static max_len_diff bound that tightens the kernel's
-    # banded scan depth and, for narrow classes, enables the mask-free
-    # seam-absorbed scan.  Throughput is reported over the FULL mixed batch.
-    classes = scan_len_diff_classes(SEQ_LEN, BAND, True)
-    dd = np.abs(la_np - lb_np)
-    cls = np.searchsorted(np.asarray(classes), dd)
-    parts = []
-    for c, bound in enumerate(classes):
-        idx = np.nonzero(cls == c)[0]
-        if len(idx):
-            parts.append(
-                (
-                    int(bound),
-                    jnp.asarray(a_np[idx]),
-                    jnp.asarray(b_np[idx]),
-                    jnp.asarray(la_np[idx]),
-                    jnp.asarray(lb_np[idx]),
+    def build_parts():
+        # Group pairs by their |la-lb| scan-plan class, exactly as the
+        # legacy per-pair scheduler does
+        # (parallel/pair_scheduler.enumerate_pair_blocks).  Only built on
+        # the TPU path — the CPU fallback never consumes these device
+        # arrays, and uploading ~128 MB for nothing would slow every
+        # APD_FORCE_CPU smoke run.
+        classes = scan_len_diff_classes(SEQ_LEN, BAND, True)
+        dd = np.abs(la_np - lb_np)
+        cls = np.searchsorted(np.asarray(classes), dd)
+        parts = []
+        for c, bound in enumerate(classes):
+            idx = np.nonzero(cls == c)[0]
+            if len(idx):
+                parts.append(
+                    (
+                        int(bound),
+                        jnp.asarray(a_np[idx]),
+                        jnp.asarray(b_np[idx]),
+                        jnp.asarray(la_np[idx]),
+                        jnp.asarray(lb_np[idx]),
+                    )
                 )
-            )
-    log(
-        "scan classes: "
-        + ", ".join(f"dd<={b}: {p[3].shape[0]} pairs" for (b, *p) in parts)
-    )
-
-    def run():
-        return [
-            dtw_batch_pallas(
-                pa, pb, pla, plb, band=BAND, normalize="path_len",
-                max_len_diff=bound, interpret=not on_tpu,
-            )
-            for bound, pa, pb, pla, plb in parts
-        ]
+        log(
+            "scan classes: "
+            + ", ".join(f"dd<={b}: {p[3].shape[0]} pairs" for (b, *p) in parts)
+        )
+        return parts
 
     # NOTE: on the remote-relay TPU backend jax.block_until_ready can return
     # before the computation finishes; np.asarray() materialization is the
@@ -118,6 +112,17 @@ def main() -> int:
 
     if on_tpu:
         # ---- legacy per-pair kernel rate (stderr continuity metric) -----
+        parts = build_parts()
+
+        def run():
+            return [
+                dtw_batch_pallas(
+                    pa, pb, pla, plb, band=BAND, normalize="path_len",
+                    max_len_diff=bound,
+                )
+                for bound, pa, pb, pla, plb in parts
+            ]
+
         t0 = time.perf_counter()
         drain(run())  # compile + warm
         log(f"per-pair kernel compile+warm: {time.perf_counter() - t0:.1f}s")
@@ -153,10 +158,13 @@ def main() -> int:
         feats = jnp.asarray(feats_np[perm])
         lens_s = lens_np[perm]
         lens = jnp.asarray(lens_s)
-        tmin = np.array([lens_s[t * ti : (t + 1) * ti].min() for t in range(nT)])
-        tmax = np.array([lens_s[t * ti : (t + 1) * ti].max() for t in range(nT)])
-        r34 = ((3 * SEQ_LEN // 4 + 7) // 8) * 8
-        full_scan = max(1, (SEQ_LEN - 1).bit_length())
+        from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+            make_tile_pair_class_fn,
+        )
+
+        pair_class = make_tile_pair_class_fn(
+            lens_s, nT, ti, SEQ_LEN, BAND, True
+        )
         # Off-diagonal tile-pairs only (every computed pair is distinct),
         # sampled with a stride across the whole upper triangle so the
         # rows/scan class mix matches the full all-pairs job — the first-N
@@ -167,11 +175,7 @@ def main() -> int:
         pairs = all_pairs[::stride][:64]
         groups: dict = {}
         for i, j in pairs:
-            rows_cls = SEQ_LEN if tmax[i] > r34 else r34
-            wv = max(BAND, int(tmax[j]) - int(tmin[i]))
-            need = max(1, (2 * min(wv, SEQ_LEN)).bit_length())
-            scan_cls = min(6, full_scan) if need <= min(6, full_scan) else full_scan
-            groups.setdefault((rows_cls, scan_cls), []).append((i, j))
+            groups.setdefault(pair_class(i, j), []).append((i, j))
         tparts = [
             (
                 rows_cls, scan_cls,

@@ -8,8 +8,11 @@ on stdout with the metric/value/vs_baseline fields — is asserted too.
 
 import json
 import os
+import pathlib
 import subprocess
 import sys
+
+REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
 
 
 def test_bench_cpu_fallback_prints_json_line():
@@ -18,7 +21,7 @@ def test_bench_cpu_fallback_prints_json_line():
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=REPO_ROOT,
         env=env,
         timeout=540,
     )

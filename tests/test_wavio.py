@@ -166,13 +166,15 @@ def test_read_wav_info_matches_read_wav(tmp_path, rng):
 
     for p in (p1, p2, p3, p4):
         samples, rate = read_wav(p)
-        n, r, fmt_tag, bits = read_wav_info(p)
+        n, r, fmt_tag, bits, n_ch = read_wav_info(p)
         assert n == len(samples), p.name
         assert r == rate, p.name
-    n, r, fmt_tag, bits = read_wav_info(p1)
-    assert (fmt_tag, bits) == (1, 16)
-    n, r, fmt_tag, bits = read_wav_info(p3)
-    assert (fmt_tag, bits) == (3, 32)
+    n, r, fmt_tag, bits, n_ch = read_wav_info(p1)
+    assert (fmt_tag, bits, n_ch) == (1, 16, 1)
+    n, r, fmt_tag, bits, n_ch = read_wav_info(p2)
+    assert n_ch == 2
+    n, r, fmt_tag, bits, n_ch = read_wav_info(p3)
+    assert (fmt_tag, bits, n_ch) == (3, 32, 1)
 
 
 def test_streaming_corpus_lazy_and_equivalent(tmp_path, rng):
@@ -209,3 +211,26 @@ def test_streaming_corpus_empty_dir(tmp_path):
     (tmp_path / "empty").mkdir()
     with _pytest.raises(FileNotFoundError):
         StreamingCorpus(tmp_path / "empty")
+
+
+def test_streaming_corpus_stereo_pcm16_not_int16_exact(tmp_path, rng):
+    """Stereo PCM16 must NOT qualify for the int16 upload path: the mono
+    downmix averages channels into half-LSB values that int16
+    re-quantization would round (code-review round-3 finding)."""
+    import wave
+
+    from audio_pattern_discovery_tpu.io.corpus import StreamingCorpus
+
+    inter = (rng.uniform(-0.5, 0.5, 2000) * 32767).astype("<i2")
+    with wave.open(str(tmp_path / "st.wav"), "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(inter.tobytes())
+    sc = StreamingCorpus(tmp_path)
+    assert not sc.all_pcm16
+    # and a mono file still qualifies
+    x = rng.uniform(-0.9, 0.9, 1000).astype(np.float32)
+    write_wav(tmp_path / "mono.wav", x, 8000)
+    sc2 = StreamingCorpus(tmp_path)    # mixed dir: still excluded
+    assert not sc2.all_pcm16
