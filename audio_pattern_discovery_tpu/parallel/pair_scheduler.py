@@ -406,9 +406,12 @@ def all_pairs_distances_tiled(
         block_dir.mkdir(parents=True, exist_ok=True)
         cfg_tag = _cfg_tag(cfg, features, lengths) + b"|tiled"
 
-    # Group tile-pairs by (rows, scan) class, then pad each class's chunk
-    # list so every dispatch shares one compiled U shape (chunk tails repeat
-    # the last tile-pair; duplicate scatters are idempotent).
+    # Group tile-pairs by (rows, scan) class, then pad each class's tail
+    # chunk UP to the next power of two (not the full chunk size: a 6-pair
+    # tail padded to 64 would run 58 redundant ~8 ms programs every job,
+    # while pow2 keeps the padding under 2x and the compiled-U shapes to a
+    # handful, cached persistently).  Pad entries repeat the last tile-pair;
+    # duplicate scatters are idempotent.
     by_class: dict[tuple[int, int], list[tuple[int, int]]] = {}
     for pij in pairs_list:
         by_class.setdefault(pair_class(*pij), []).append(pij)
@@ -416,7 +419,8 @@ def all_pairs_distances_tiled(
     for (rows_cls, scan_cls), plist in sorted(by_class.items()):
         for s in range(0, len(plist), chunk_programs):
             part = plist[s : s + chunk_programs]
-            while len(part) < min(chunk_programs, len(plist)):
+            u = 1 << max(0, (len(part) - 1).bit_length())
+            while len(part) < min(u, chunk_programs):
                 part = part + [part[-1]]
             ii = np.array([p[0] for p in part], np.int32)
             jj = np.array([p[1] for p in part], np.int32)

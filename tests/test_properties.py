@@ -101,3 +101,41 @@ def test_triangle_like_bound_on_concatenation(pair):
     aa = np.concatenate([a, a])
     d = dtw_oracle(a, aa)
     assert np.isfinite(d) and d >= 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(2, 30),          # band
+    st.integers(0, 6),           # seed
+)
+def test_tile_kernel_matches_scan_on_random_corpora(band, seed):
+    """Property: the all-pairs TILE kernel agrees with the scan-path oracle
+    on random ragged corpora across band widths (interpret mode; the DP
+    rows/scan-class contracts are exercised separately in test_dtw_tile)."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_tile_pairs
+
+    rng = np.random.default_rng(seed)
+    ti, su, sv, S, d = 8, 2, 4, 16, 3
+    K = 2 * ti
+    feats = rng.normal(0, 1, (K, S, d)).astype(np.float32)
+    lengths = rng.integers(2, S + 1, K).astype(np.int32)
+    blocks = np.asarray(
+        dtw_tile_pairs(
+            jnp.asarray(feats), jnp.asarray(lengths),
+            jnp.asarray([0], jnp.int32), jnp.asarray([1], jnp.int32),
+            ti=ti, su=su, sv=sv, band=band, interpret=True,
+        )
+    )
+    ii = np.repeat(np.arange(ti), ti)
+    jj = np.tile(np.arange(ti, 2 * ti), ti)
+    ref = np.asarray(
+        dtw_batch(
+            jnp.asarray(feats[ii]), jnp.asarray(feats[jj]),
+            jnp.asarray(lengths[ii]), jnp.asarray(lengths[jj]),
+            band=band, normalize="none",
+        )
+    ).reshape(ti, ti)
+    np.testing.assert_allclose(blocks[0], ref, rtol=1e-4, atol=1e-4)
