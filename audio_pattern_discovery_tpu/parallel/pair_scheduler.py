@@ -294,11 +294,14 @@ def make_tile_pair_class_fn(
     tmax = np.array([lens_sorted[t * ti : (t + 1) * ti].max() for t in range(nT)])
     full_scan = max(1, (Lp - 1).bit_length())
     small_scan = min(6, full_scan)
-    r34 = min(Lp, ((3 * Lp // 4 + 7) // 8) * 8)
+    # rows quantized to 16-frame steps (sorted tiles make rows_req tight;
+    # the DP loop is ~70% of the kernel, so finer steps shave real time —
+    # each distinct value is one compiled shape, persistently cached)
+    rq = max(16, Lp // 8)
 
     def pair_class(i: int, j: int) -> tuple[int, int]:
         rows_req = int(tmax[i])                      # A-tile = the shorter
-        rows_cls = Lp if rows_req > r34 else r34
+        rows_cls = min(Lp, rq * -(-rows_req // rq))
         if band is None:
             scan_cls = full_scan
         else:
