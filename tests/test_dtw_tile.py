@@ -192,3 +192,27 @@ def test_tile_rows_and_scan_classes_match_full():
         ti=TI, su=SU, sv=SV, band=4, rows=24, interpret=True,
     ))
     np.testing.assert_array_equal(full, tight)
+
+
+def test_tile_pair_class_contracts():
+    """make_tile_pair_class_fn's outputs must satisfy dtw_tile_pairs's
+    correctness contracts: rows_cls covers every A-tile length and
+    2^scan_cls covers the live band width for every pair in the class."""
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        make_tile_pair_class_fn,
+    )
+
+    rng = np.random.default_rng(7)
+    ti_, nT, Lp, band = 16, 6, 128, 16
+    lens = np.sort(rng.integers(1, Lp + 1, nT * ti_)).astype(np.int32)
+    fn = make_tile_pair_class_fn(lens, nT, ti_, Lp, band, True)
+    for i in range(nT):
+        for j in range(i, nT):
+            rows_cls, scan_cls = fn(i, j)
+            la = lens[i * ti_ : (i + 1) * ti_]
+            lb = lens[j * ti_ : (j + 1) * ti_]
+            assert rows_cls >= la.max()
+            assert rows_cls <= Lp
+            wv = np.maximum(band, np.abs(la[:, None] - lb[None, :]))
+            live = 2 * np.minimum(wv, Lp).max() + 1
+            assert (1 << scan_cls) >= min(live, Lp), (i, j, live, scan_cls)
