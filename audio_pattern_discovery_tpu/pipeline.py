@@ -285,6 +285,20 @@ def discover(
         else:
             scales = None
     counters.add("clips", len(stream))
+    rates = np.unique(stream.sample_rates)
+    if len(rates) > 1:
+        log.warning(
+            f"corpus mixes sample rates {rates.tolist()}: frame times and "
+            "DTW distances are not comparable across rates — resample to "
+            f"one rate (config expects {cfg.spectrogram.sample_rate} Hz)"
+        )
+    elif int(rates[0]) != cfg.spectrogram.sample_rate:
+        log.warning(
+            f"corpus sample rate {int(rates[0])} != configured "
+            f"spectrogram.sample_rate {cfg.spectrogram.sample_rate}; "
+            "window/hop lengths are in samples, so frame durations will "
+            "differ from the configured intent"
+        )
     log.info(
         f"probed headers of {len(stream)} clips"
         + ({"int16": " (PCM16: int16 device upload)",

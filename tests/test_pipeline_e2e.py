@@ -344,3 +344,30 @@ def test_mulaw_codec_roundtrip():
     assert snr_db >= 30.0, f"mu-law SNR {snr_db:.1f} dB"
     assert mulaw_encode_host(np.zeros(8, np.float32)).tolist() == [0] * 8
     assert np.asarray(mulaw_decode_device(np.zeros(8, np.int8))).tolist() == [0.0] * 8
+
+
+def test_mixed_sample_rate_warning(tmp_path):
+    """Mixed-rate corpora silently mix time scales; the pipeline must warn.
+    (The apd logger doesn't propagate, so capture via an injected logger.)"""
+    import logging
+
+    from audio_pattern_discovery_tpu.io.wavio import write_wav
+
+    rng = np.random.default_rng(0)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    write_wav(corpus / "a.wav", rng.uniform(-0.5, 0.5, 8000).astype(np.float32), 16_000)
+    write_wav(corpus / "b.wav", rng.uniform(-0.5, 0.5, 8000).astype(np.float32), 8_000)
+    cfg = _small_config(False)
+    records: list[str] = []
+    lg = logging.getLogger("apd_test_mixed_rate")
+    lg.setLevel(logging.INFO)
+    lg.propagate = False
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    lg.addHandler(h)
+    try:
+        discover(corpus, cfg, logger=lg)
+    except Exception:
+        pass  # quality of results on a junk corpus is not the point
+    assert any("mixes sample rates" in m for m in records)
