@@ -300,14 +300,20 @@ def main() -> int:
             a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
             band=BAND, normalize="path_len", n_threads=1,
         )
-        t0 = time.perf_counter()
-        native.dtw_batch_cpu(
-            a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
-            band=BAND, normalize="path_len", n_threads=1,
-        )
-        cpu_s = time.perf_counter() - t0
+        # Best of 3: the shared host vCPU throttles 3-10x in bad windows
+        # (measured 4.4k-18k pairs/s for identical work across one day);
+        # best-of-3 keeps vs_baseline from swinging with the weather.
+        cpu_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native.dtw_batch_cpu(
+                a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
+                band=BAND, normalize="path_len", n_threads=1,
+            )
+            cpu_s = min(cpu_s, time.perf_counter() - t0)
         cpu_pairs_per_sec = CPU_PAIRS / cpu_s
-        log(f"CPU baseline (1 core C++): {cpu_pairs_per_sec:,.0f} pairs/s")
+        log(f"CPU baseline (1 core C++, best of 3): "
+            f"{cpu_pairs_per_sec:,.0f} pairs/s")
 
         ncores = len(os.sched_getaffinity(0)) or os.cpu_count() or 1
         if ncores > 1:
