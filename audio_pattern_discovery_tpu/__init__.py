@@ -55,10 +55,28 @@ def _enable_compilation_cache() -> None:
 
         return platform.machine() or "unknown"
 
+    # CPU-context processes (tests, dryrun, APD_FORCE_CPU tools) scope the
+    # cache per BOOT on top of the cpuinfo tag: cloud vCPUs live-migrate
+    # across physical hosts with /proc/cpuinfo virtualized constant while
+    # LLVM's host detection changes, so same-tag XLA:CPU AOT entries can
+    # still trip the machine-feature check ("could lead to ... SIGILL"
+    # warnings observed round 3 even after the cpuinfo scoping).  TPU
+    # entries are machine-independent and keep the stable tag — repaying
+    # tunnel-compile minutes per boot would be far worse than the noise.
+    tag = _machine_tag()
+    cpu_ctx = bool(_os.environ.get("APD_FORCE_CPU")) or _os.environ.get(
+        "JAX_PLATFORMS", ""
+    ).startswith("cpu")
+    if cpu_ctx:
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                tag += "-boot-" + f.read().strip()[:8]
+        except OSError:  # pragma: no cover - non-Linux
+            pass
     cache_dir = _os.environ.get(
         "APD_COMPILE_CACHE_DIR",
         _os.path.join(
-            _os.path.expanduser("~"), ".cache", "apd_jax_cache", _machine_tag()
+            _os.path.expanduser("~"), ".cache", "apd_jax_cache", tag
         ),
     )
     try:

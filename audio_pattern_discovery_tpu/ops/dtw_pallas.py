@@ -560,6 +560,7 @@ def _dtw_tile_kernel(
     metric: str,
     scan_steps: int,
     rows: int,
+    gram_precision: jax.lax.Precision,
 ):
     """One (ti x ti) tile-pair: per-u MXU Grams -> masked cost -> min-plus
     row scan over `rows` DP rows (the caller bounds rows by the A-tile's
@@ -573,7 +574,14 @@ def _dtw_tile_kernel(
     del ti_map_ref, tj_map_ref
     TI = a_ref.shape[0]
     S = a_ref.shape[2]
-    R = S
+    # The cost build only materializes the `rows` DP rows the row loop will
+    # consume (A-tile lengths never exceed `rows` by contract): rows < S
+    # cuts the mask/cost elementwise passes and the cmat scratch footprint
+    # proportionally.  R is an OUTER (untiled) dim of g/cmat, so any value
+    # is layout-legal; the MXU Gram still computes all S a-rows (its M dim
+    # rides the lane axis, where slicing is not free) and the slice drops
+    # the dead rows before the elementwise build.
+    R = rows
     nv = TI // sv
     n_sub = (TI // su) * nv
 
@@ -592,11 +600,20 @@ def _dtw_tile_kernel(
                 av, b_sub,
                 dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                # HIGHEST: bf16-cancellation guard (the full squared
-                # distance sqa+sqb-2ab accumulates inside this one dot via
-                # the channel augmentation, so the guard covers it all).
-                precision=jax.lax.Precision.HIGHEST,
-            )                                            # [R, sv, S]
+                # HIGHEST (6 bf16 MXU passes) is the bf16-cancellation
+                # guard: the full squared distance sqa+sqb-2ab accumulates
+                # inside this one dot via the channel augmentation, so the
+                # guard covers it all.  gram_precision exists for probes
+                # only: Mosaic lowers ONLY HIGHEST and DEFAULT (HIGH raises
+                # NotImplementedError), DEFAULT's single pass is off by
+                # ~0.16 abs on normalized distances, and the measured gap
+                # DEFAULT-vs-HIGHEST is just ~10-15% of the kernel — so a
+                # manual hi/lo-bf16 3-pass split would recover ~7% at best
+                # and was rejected (BASELINE.md round-3 precision probe).
+                precision=gram_precision,
+            )                                            # [S, sv, S]
+            if R != S:
+                g = g[:R]                                # [R, sv, S]
             ii = jax.lax.broadcasted_iota(jnp.int32, (R, sv, S), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (R, sv, S), 2)
             if band is None:
@@ -680,7 +697,7 @@ def tile_geometry(seq_len: int) -> tuple[int, int, int] | None:
 @partial(
     jax.jit,
     static_argnames=("ti", "su", "sv", "band", "auto_widen", "metric",
-                     "rows", "scan_steps", "interpret"),
+                     "rows", "scan_steps", "gram_precision", "interpret"),
 )
 def dtw_tile_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -696,6 +713,7 @@ def dtw_tile_pairs(
     metric: str = "euclidean",
     rows: int | None = None,
     scan_steps: int | None = None,
+    gram_precision: str = "highest",
     interpret: bool = False,
 ):
     """DTW distances for U sequence tile-pairs -> [U, ti, ti] blocks.
@@ -747,12 +765,17 @@ def dtw_tile_pairs(
     nv = ti // sv
     if scan_steps is None:
         scan_steps = max(1, (S - 1).bit_length())
-    if rows is None:
-        rows = S
+    rows = S if rows is None else min(rows, S)
 
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[gram_precision]
     kernel = partial(
         _dtw_tile_kernel, su=su, sv=sv, band=band, auto_widen=auto_widen,
         metric=metric, scan_steps=scan_steps, rows=rows,
+        gram_precision=prec,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -767,7 +790,7 @@ def dtw_tile_pairs(
             (1, ti, nv, sv), lambda u, im, jm: (u, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((S, su, sv, S), jnp.float32),
+            pltpu.VMEM((rows, su, sv, S), jnp.float32),
             pltpu.VMEM((su, sv, S), jnp.int32),
         ],
     )

@@ -194,6 +194,27 @@ def test_tile_rows_and_scan_classes_match_full():
     np.testing.assert_array_equal(full, tight)
 
 
+def test_tile_gram_precision_probe_param():
+    """gram_precision is a PROBE-ONLY static arg on dtw_tile_pairs (the
+    production path is always "highest"): Mosaic lowers only HIGHEST and
+    DEFAULT, and the round-3 hardware probe measured the whole 6-pass Gram
+    at ~10-15% of the kernel, so no faster tier was adopted (BASELINE.md).
+    On CPU interpret every tier is exact f32 — both must agree, which pins
+    the plumbing without claiming hardware numerics."""
+    feats, lengths = _mk(TI, seed=8)
+    kw = dict(ti=TI, su=SU, sv=SV, band=8, interpret=True)
+    ii = jnp.asarray([0], jnp.int32)
+    hi = np.asarray(
+        dtw_tile_pairs(feats, lengths, ii, ii,
+                       gram_precision="highest", **kw)
+    )
+    df = np.asarray(
+        dtw_tile_pairs(feats, lengths, ii, ii,
+                       gram_precision="default", **kw)
+    )
+    np.testing.assert_array_equal(hi, df)
+
+
 def test_tile_pair_class_contracts():
     """make_tile_pair_class_fn's outputs must satisfy dtw_tile_pairs's
     correctness contracts: rows_cls covers every A-tile length and

@@ -55,6 +55,26 @@ def test_all_pairs_multi_device_matches_single(rng):
     np.testing.assert_allclose(D1, D8, rtol=1e-6, atol=1e-6)
 
 
+def test_all_pairs_tiled_multi_device_matches_single(rng):
+    """Tile-pair chunks round-robin over 8 devices == single-device result
+    (the round-3 production path's DP axis)."""
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        all_pairs_distances_tiled,
+    )
+
+    feats, lengths = _features(rng, K=40, L=32)
+    cfg = DTWConfig(band=8)
+    geom = (16, 4, 8)
+    D1 = all_pairs_distances_tiled(
+        feats, lengths, cfg, interpret=True, geometry=geom, chunk_programs=2
+    )
+    D8 = all_pairs_distances_tiled(
+        feats, lengths, cfg, interpret=True, geometry=geom, chunk_programs=2,
+        devices=list(jax.devices()),
+    )
+    np.testing.assert_allclose(D1, D8, rtol=1e-6, atol=1e-6)
+
+
 def test_ae_train_step_dp_tp(rng):
     """One jitted AE train step over a 4x2 DPxTP mesh produces finite loss
     and keeps the hidden-dim sharding on the params."""

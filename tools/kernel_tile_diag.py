@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--ntiles", type=int, default=8)
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--scan-steps", type=int, default=None)
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "high", "default"])
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--check-pairs", type=int, default=512)
     args = ap.parse_args()
@@ -91,7 +93,7 @@ def main() -> int:
         return dtw_tile_pairs(
             feats, lengths, ii, jj, ti=args.ti, su=args.su, sv=args.sv,
             band=BAND, rows=args.rows, scan_steps=args.scan_steps,
-            interpret=not on_tpu)
+            gram_precision=args.precision, interpret=not on_tpu)
 
     t0 = time.perf_counter()
     blocks = np.asarray(run())
