@@ -561,6 +561,7 @@ def _dtw_tile_kernel(
     scan_steps: int,
     rows: int,
     gram_precision: jax.lax.Precision,
+    cmat_dtype: jnp.dtype,
 ):
     """One (ti x ti) tile-pair: per-u MXU Grams -> masked cost -> min-plus
     row scan over `rows` DP rows (the caller bounds rows by the A-tile's
@@ -634,7 +635,9 @@ def _dtw_tile_kernel(
             else:
                 sq = jnp.maximum(g, 0.0)
                 cost = jnp.sqrt(sq) if metric == "euclidean" else sq
-            cmat_ref[:, pl.ds(u, 1)] = jnp.where(valid, cost, INF)[:, None]
+            cmat_ref[:, pl.ds(u, 1)] = (
+                jnp.where(valid, cost, INF).astype(cmat_dtype)[:, None]
+            )
             lanes2 = jax.lax.broadcasted_iota(jnp.int32, (sv, S), 1)
             ex_u = jnp.where(lanes2 == lb_sub - 1, la_u - 1, -1)
             ex_ref[pl.ds(u, 1)] = ex_u[None]
@@ -648,7 +651,9 @@ def _dtw_tile_kernel(
 
         def row_body(i, carry):
             prev, out = carry
-            c = cmat_ref[i]                              # [su, sv, S]
+            # f32 accumulation regardless of cmat storage dtype (the bf16
+            # cmat probe stores costs compactly; the DP carry stays f32)
+            c = cmat_ref[i].astype(jnp.float32)          # [su, sv, S]
             prev_shift = jnp.where(
                 lanes3 >= 1, pltpu.roll(prev, 1, axis=2), INF
             )
@@ -697,7 +702,8 @@ def tile_geometry(seq_len: int) -> tuple[int, int, int] | None:
 @partial(
     jax.jit,
     static_argnames=("ti", "su", "sv", "band", "auto_widen", "metric",
-                     "rows", "scan_steps", "gram_precision", "interpret"),
+                     "rows", "scan_steps", "gram_precision", "cmat_dtype",
+                     "interpret"),
 )
 def dtw_tile_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -714,6 +720,7 @@ def dtw_tile_pairs(
     rows: int | None = None,
     scan_steps: int | None = None,
     gram_precision: str = "highest",
+    cmat_dtype: str = "float32",
     interpret: bool = False,
 ):
     """DTW distances for U sequence tile-pairs -> [U, ti, ti] blocks.
@@ -772,10 +779,14 @@ def dtw_tile_pairs(
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[gram_precision]
+    # cmat_dtype="bfloat16" is a PROBE knob like gram_precision: it halves
+    # the cost-scratch VMEM footprint and round-trip traffic at ~8 mantissa
+    # bits of cost resolution; production stays f32.
+    cdt = jnp.dtype(cmat_dtype)
     kernel = partial(
         _dtw_tile_kernel, su=su, sv=sv, band=band, auto_widen=auto_widen,
         metric=metric, scan_steps=scan_steps, rows=rows,
-        gram_precision=prec,
+        gram_precision=prec, cmat_dtype=cdt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -790,7 +801,7 @@ def dtw_tile_pairs(
             (1, ti, nv, sv), lambda u, im, jm: (u, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, su, sv, S), jnp.float32),
+            pltpu.VMEM((rows, su, sv, S), cdt),
             pltpu.VMEM((su, sv, S), jnp.int32),
         ],
     )

@@ -48,6 +48,8 @@ def main() -> int:
     ap.add_argument("--scan-steps", type=int, default=None)
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
+    ap.add_argument("--cmat-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--check-pairs", type=int, default=512)
     args = ap.parse_args()
@@ -78,6 +80,11 @@ def main() -> int:
     lengths = jax.random.randint(
         kk[1], (K,), S - args.ddmax, S + 1
     ).astype(jnp.int32)
+    if args.rows is not None and args.rows < int(jnp.max(lengths)):
+        log(f"ERROR: --rows {args.rows} < max length "
+            f"{int(jnp.max(lengths))} violates the kernel's rows contract "
+            "(pairs whose A length exceeds rows are never extracted)")
+        return 2
 
     nT = args.ntiles
     # off-diagonal tile-pairs, strided across the triangle
@@ -93,7 +100,8 @@ def main() -> int:
         return dtw_tile_pairs(
             feats, lengths, ii, jj, ti=args.ti, su=args.su, sv=args.sv,
             band=BAND, rows=args.rows, scan_steps=args.scan_steps,
-            gram_precision=args.precision, interpret=not on_tpu)
+            gram_precision=args.precision, cmat_dtype=args.cmat_dtype,
+            interpret=not on_tpu)
 
     t0 = time.perf_counter()
     blocks = np.asarray(run())
