@@ -200,7 +200,11 @@ def test_tile_gram_precision_probe_param():
     DEFAULT, and the round-3 hardware probe measured the whole 6-pass Gram
     at ~10-15% of the kernel, so no faster tier was adopted (BASELINE.md).
     On CPU interpret every tier is exact f32 — both must agree, which pins
-    the plumbing without claiming hardware numerics."""
+    the plumbing without claiming hardware numerics.  (On the real-TPU
+    suite interpret-mode dots still honor the backend's precision, where
+    DEFAULT is a single bf16 pass — exact equality only holds on CPU.)"""
+    if jax.devices()[0].platform != "cpu":
+        pytest.skip("exact cross-precision equality holds only on CPU")
     feats, lengths = _mk(TI, seed=8)
     kw = dict(ti=TI, su=SU, sv=SV, band=8, interpret=True)
     ii = jnp.asarray([0], jnp.int32)
