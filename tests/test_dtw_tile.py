@@ -219,6 +219,39 @@ def test_tile_gram_precision_probe_param():
     np.testing.assert_array_equal(hi, df)
 
 
+@pytest.mark.tpu
+def test_tpu_tile_kernel_metrics_compiled():
+    """Compiled Mosaic tile kernel for the NON-default metrics (cosine,
+    sqeuclidean) vs the scan path — the CPU suite covers these only in
+    interpret mode, and Mosaic lowering differences (normalization path,
+    no sqrt) deserve one on-chip check each."""
+    rng = np.random.default_rng(13)
+    S, d, ti_, su_, sv_ = 128, 16, 128, 8, 64
+    K = 2 * ti_
+    feats = jnp.asarray(rng.normal(0, 1, (K, S, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(S - 12, S + 1, K).astype(np.int32))
+    ii = jnp.asarray([0], jnp.int32)
+    jj = jnp.asarray([1], jnp.int32)
+    feats_np = np.asarray(feats)
+    lengths_np = np.asarray(lengths)
+    sample = np.random.default_rng(14).integers(0, ti_, (64, 2))
+    for metric in ("cosine", "sqeuclidean"):
+        blocks = np.asarray(
+            dtw_tile_pairs(
+                feats, lengths, ii, jj, ti=ti_, su=su_, sv=sv_,
+                band=16, metric=metric,
+            )
+        )
+        gi = sample[:, 0]
+        gj = ti_ + sample[:, 1]
+        ref = np.asarray(dtw_batch(
+            feats_np[gi], feats_np[gj], lengths_np[gi], lengths_np[gj],
+            band=16, metric=metric, normalize="none",
+        ))
+        got = blocks[0][sample[:, 0], sample[:, 1]]
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_tile_pair_class_contracts():
     """make_tile_pair_class_fn's outputs must satisfy dtw_tile_pairs's
     correctness contracts: rows_cls covers every A-tile length and

@@ -101,6 +101,28 @@ def test_discovery_recovers_planted_motifs(tmp_path, use_ae):
                 assert (i1 - i0, j1 - j0) in {(1, 0), (0, 1), (1, 1)}
 
 
+@pytest.mark.parametrize(
+    "metric,linkage",
+    [("cosine", "complete"), ("sqeuclidean", "weighted"),
+     ("euclidean", "single")],
+)
+def test_discovery_config_matrix(tmp_path, metric, linkage):
+    """Non-default metric x linkage combos through the PRODUCT path (the
+    op layer covers each knob in isolation; this pins that discover()
+    plumbs them together without degrading the planted-motif recovery)."""
+    corpus_dir = tmp_path / "corpus"
+    truth = make_corpus(
+        corpus_dir, n_clips=8, n_motifs=2, occurrences_per_clip=2,
+        clip_seconds=2.0, sample_rate=16_000, seed=11,
+    )
+    cfg = _small_config(ae=False)
+    cfg.dtw.metric = metric
+    cfg.cluster.linkage = linkage
+    result = discover(corpus_dir, cfg)
+    purity = _cluster_purity(result, truth)
+    assert purity >= 0.9, f"{metric}/{linkage} purity {purity:.2f}"
+
+
 def test_deterministic_end_to_end(tmp_path):
     corpus_dir = tmp_path / "corpus"
     make_corpus(corpus_dir, n_clips=6, n_motifs=2, clip_seconds=1.5, seed=3)
