@@ -55,28 +55,30 @@ def _enable_compilation_cache() -> None:
 
         return platform.machine() or "unknown"
 
-    # CPU-context processes (tests, dryrun, APD_FORCE_CPU tools) scope the
-    # cache per BOOT on top of the cpuinfo tag: cloud vCPUs live-migrate
-    # across physical hosts with /proc/cpuinfo virtualized constant while
-    # LLVM's host detection changes, so same-tag XLA:CPU AOT entries can
-    # still trip the machine-feature check ("could lead to ... SIGILL"
-    # warnings observed round 3 even after the cpuinfo scoping).  TPU
-    # entries are machine-independent and keep the stable tag — repaying
-    # tunnel-compile minutes per boot would be far worse than the noise.
-    tag = _machine_tag()
-    cpu_ctx = bool(_os.environ.get("APD_FORCE_CPU")) or _os.environ.get(
-        "JAX_PLATFORMS", ""
-    ).startswith("cpu")
-    if cpu_ctx:
-        try:
-            with open("/proc/sys/kernel/random/boot_id") as f:
-                tag += "-boot-" + f.read().strip()[:8]
-        except OSError:  # pragma: no cover - non-Linux
-            pass
+    # CPU-context processes (tests, dryrun, APD_FORCE_CPU tools) skip the
+    # persistent cache entirely: this jaxlib's XLA:CPU AOT loader compares
+    # an entry's compile features (which include XLA-added tuning flags
+    # like +prefer-no-scatter) against raw host detection, so RELOADING
+    # even a same-process-written entry floods stderr with "could lead to
+    # execution errors such as SIGILL" warnings — neither cpuinfo- nor
+    # boot-scoping can fix that (review round 3: warnings observed from a
+    # boot-scoped dir's own entries, and live migration preserves
+    # boot_id anyway).  CPU compiles here are sub-second; TPU compiles
+    # are minutes over the tunnel, so TPU contexts keep the stable
+    # machine-tagged cache.  APD_TPU_TESTS=1 overrides the CPU signals:
+    # tests/conftest.py exports JAX_PLATFORMS=cpu unconditionally, but
+    # the axon plugin ignores it and the real-TPU suite must not lose
+    # its cache.  An explicit APD_COMPILE_CACHE_DIR always wins.
+    cpu_ctx = (
+        bool(_os.environ.get("APD_FORCE_CPU"))
+        or _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    ) and _os.environ.get("APD_TPU_TESTS") != "1"
+    if cpu_ctx and not _os.environ.get("APD_COMPILE_CACHE_DIR"):
+        return
     cache_dir = _os.environ.get(
         "APD_COMPILE_CACHE_DIR",
         _os.path.join(
-            _os.path.expanduser("~"), ".cache", "apd_jax_cache", tag
+            _os.path.expanduser("~"), ".cache", "apd_jax_cache", _machine_tag()
         ),
     )
     try:

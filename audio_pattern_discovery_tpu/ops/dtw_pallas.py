@@ -562,6 +562,8 @@ def _dtw_tile_kernel(
     rows: int,
     gram_precision: jax.lax.Precision,
     cmat_dtype: jnp.dtype,
+    build_repeats: int,
+    dp_repeats: int,
 ):
     """One (ti x ti) tile-pair: per-u MXU Grams -> masked cost -> min-plus
     row scan over `rows` DP rows (the caller bounds rows by the A-tile's
@@ -643,7 +645,17 @@ def _dtw_tile_kernel(
             ex_ref[pl.ds(u, 1)] = ex_u[None]
             return 0
 
-        jax.lax.fori_loop(0, su, build_u, 0)
+        # build_repeats/dp_repeats are TIMING PROBES (kernel_tile_diag
+        # --build-repeats/--dp-repeats): re-running an idempotent stage N
+        # times isolates its cost as the N-slope of program time, the same
+        # dp-repeats methodology that produced BASELINE.md's round-3
+        # breakdown.  Production always runs 1 (the unperturbed loop).
+        if build_repeats == 1:
+            jax.lax.fori_loop(0, su, build_u, 0)
+        else:
+            jax.lax.fori_loop(
+                0, su * build_repeats, lambda k, _: build_u(k % su, _), 0
+            )
 
         # square-frame min-plus row scan (the square kernel's recurrence;
         # masking already lives in cmat, so the body has no validity ops)
@@ -676,7 +688,14 @@ def _dtw_tile_kernel(
             jnp.full((su, sv, S), INF),
             jnp.full((su, sv, S), INF),
         )
-        _, outp = jax.lax.fori_loop(0, rows, row_body, init)
+        if dp_repeats == 1:
+            _, outp = jax.lax.fori_loop(0, rows, row_body, init)
+        else:
+            outp = jax.lax.fori_loop(
+                0, dp_repeats,
+                lambda r, _: jax.lax.fori_loop(0, rows, row_body, init)[1],
+                init[1],
+            )
         vb = st % nv
         out_ref[0, pl.ds(u0, su), pl.ds(vb, 1), :] = (
             jnp.min(outp, axis=2)[:, None]
@@ -703,7 +722,7 @@ def tile_geometry(seq_len: int) -> tuple[int, int, int] | None:
     jax.jit,
     static_argnames=("ti", "su", "sv", "band", "auto_widen", "metric",
                      "rows", "scan_steps", "gram_precision", "cmat_dtype",
-                     "interpret"),
+                     "build_repeats", "dp_repeats", "interpret"),
 )
 def dtw_tile_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -721,6 +740,8 @@ def dtw_tile_pairs(
     scan_steps: int | None = None,
     gram_precision: str = "highest",
     cmat_dtype: str = "float32",
+    build_repeats: int = 1,
+    dp_repeats: int = 1,
     interpret: bool = False,
 ):
     """DTW distances for U sequence tile-pairs -> [U, ti, ti] blocks.
@@ -787,6 +808,7 @@ def dtw_tile_pairs(
         _dtw_tile_kernel, su=su, sv=sv, band=band, auto_widen=auto_widen,
         metric=metric, scan_steps=scan_steps, rows=rows,
         gram_precision=prec, cmat_dtype=cdt,
+        build_repeats=build_repeats, dp_repeats=dp_repeats,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

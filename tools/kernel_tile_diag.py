@@ -50,6 +50,12 @@ def main() -> int:
                     choices=["highest", "high", "default"])
     ap.add_argument("--cmat-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--build-repeats", type=int, default=1,
+                    help="re-run the cost build N times (timing slope "
+                         "isolates the build's share)")
+    ap.add_argument("--dp-repeats", type=int, default=1,
+                    help="re-run the DP row loop N times (timing slope "
+                         "isolates the DP's share)")
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--check-pairs", type=int, default=512)
     args = ap.parse_args()
@@ -101,6 +107,7 @@ def main() -> int:
             feats, lengths, ii, jj, ti=args.ti, su=args.su, sv=args.sv,
             band=BAND, rows=args.rows, scan_steps=args.scan_steps,
             gram_precision=args.precision, cmat_dtype=args.cmat_dtype,
+            build_repeats=args.build_repeats, dp_repeats=args.dp_repeats,
             interpret=not on_tpu)
 
     t0 = time.perf_counter()
