@@ -564,6 +564,7 @@ def _dtw_tile_kernel(
     cmat_dtype: jnp.dtype,
     build_repeats: int,
     dp_repeats: int,
+    hoist_masks: bool,
 ):
     """One (ti x ti) tile-pair: per-u MXU Grams -> masked cost -> min-plus
     row scan over `rows` DP rows (the caller bounds rows by the A-tile's
@@ -661,20 +662,34 @@ def _dtw_tile_kernel(
         # masking already lives in cmat, so the body has no validity ops)
         ex3 = ex_ref[:]
 
+        # hoist_masks is a TIMING PROBE like build_repeats/dp_repeats: the
+        # step masks (lanes3 >= sh) are loop-invariant across rows, so
+        # hoisting them trades the per-row iota compares for scan_steps+2
+        # live boolean vectors the compiler must keep across the loop
+        # (registers or VMEM spills — which is cheaper is an empirical
+        # question on this device; see BASELINE.md round-3 probes).
+        if hoist_masks:
+            m_ge1 = lanes3 >= 1
+            m_lane0 = lanes3 == 0
+            m_step = [lanes3 >= (1 << t) for t in range(scan_steps)]
+
         def row_body(i, carry):
             prev, out = carry
             # f32 accumulation regardless of cmat storage dtype (the bf16
             # cmat probe stores costs compactly; the DP carry stays f32)
             c = cmat_ref[i].astype(jnp.float32)          # [su, sv, S]
             prev_shift = jnp.where(
-                lanes3 >= 1, pltpu.roll(prev, 1, axis=2), INF
+                m_ge1 if hoist_masks else lanes3 >= 1,
+                pltpu.roll(prev, 1, axis=2), INF
             )
             e = c + jnp.minimum(prev, prev_shift)
-            e = jnp.where((i == 0) & (lanes3 == 0), c, e)
+            e = jnp.where(
+                (i == 0) & (m_lane0 if hoist_masks else lanes3 == 0), c, e
+            )
             ee, cc = e, c
             sh = 1
             for t in range(scan_steps):
-                mask = lanes3 >= sh
+                mask = m_step[t] if hoist_masks else lanes3 >= sh
                 ee = jnp.where(
                     mask, jnp.minimum(ee, pltpu.roll(ee, sh, axis=2) + cc), ee
                 )
@@ -722,7 +737,8 @@ def tile_geometry(seq_len: int) -> tuple[int, int, int] | None:
     jax.jit,
     static_argnames=("ti", "su", "sv", "band", "auto_widen", "metric",
                      "rows", "scan_steps", "gram_precision", "cmat_dtype",
-                     "build_repeats", "dp_repeats", "interpret"),
+                     "build_repeats", "dp_repeats", "hoist_masks",
+                     "interpret"),
 )
 def dtw_tile_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -742,6 +758,7 @@ def dtw_tile_pairs(
     cmat_dtype: str = "float32",
     build_repeats: int = 1,
     dp_repeats: int = 1,
+    hoist_masks: bool = False,
     interpret: bool = False,
 ):
     """DTW distances for U sequence tile-pairs -> [U, ti, ti] blocks.
@@ -809,6 +826,7 @@ def dtw_tile_pairs(
         metric=metric, scan_steps=scan_steps, rows=rows,
         gram_precision=prec, cmat_dtype=cdt,
         build_repeats=build_repeats, dp_repeats=dp_repeats,
+        hoist_masks=hoist_masks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

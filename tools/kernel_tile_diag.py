@@ -56,6 +56,9 @@ def main() -> int:
     ap.add_argument("--dp-repeats", type=int, default=1,
                     help="re-run the DP row loop N times (timing slope "
                          "isolates the DP's share)")
+    ap.add_argument("--hoist-masks", action="store_true",
+                    help="precompute the row scan's loop-invariant step "
+                         "masks once per subtile instead of per DP row")
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--check-pairs", type=int, default=512)
     args = ap.parse_args()
@@ -108,6 +111,7 @@ def main() -> int:
             band=BAND, rows=args.rows, scan_steps=args.scan_steps,
             gram_precision=args.precision, cmat_dtype=args.cmat_dtype,
             build_repeats=args.build_repeats, dp_repeats=args.dp_repeats,
+            hoist_masks=args.hoist_masks,
             interpret=not on_tpu)
 
     t0 = time.perf_counter()
