@@ -356,13 +356,17 @@ def all_pairs_distances_tiled(
     ti, su, sv = geom
 
     Kp = -(-K // ti) * ti
-    D = np.zeros((Kp, Kp), dtype=np.float32)
+    D = np.zeros((K, K), dtype=np.float32)
     # Sort sequences by length: tiles then hold near-constant lengths, so
     # each tile-pair gets a TIGHT static DP row count (the A-tile's max
     # length) and banded scan depth (from the tile-pair's length spread) —
     # the DP loop is ~70% of the kernel, and the average A-tile of an
-    # upper-triangle pair is the shorter one.  Blocks scatter in sorted
-    # space; one fancy-gather un-permutes D at the end.
+    # upper-triangle pair is the shorter one.  Blocks scatter STRAIGHT
+    # into original-order D via per-block fancy writes: that work rides
+    # the collect loop (overlapped with device compute — the host has
+    # ~20 s of slack per contract-scale job), whereas the old sorted-space
+    # D needed a final full-matrix np.ix_ un-permute that ran as a pure
+    # ~1.4 s non-overlappable tail at K=10k.
     perm = np.argsort(lengths, kind="stable").astype(np.int64)
     lens_sorted = lengths[perm]
     lens_p = np.ones((Kp,), np.int32)
@@ -434,15 +438,15 @@ def all_pairs_distances_tiled(
     norm = cfg.normalize == "path_len"
     pending: list = []
 
-    iu_t = np.triu_indices(ti, k=1)
+    ls_f = lens_p.astype(np.float32)
 
     def scatter_chunk(ii, jj, blocks):
         # Each (I, J) appears once.  Both triangles are written per block
         # (mirroring the 64 KB block is ~0.1 ms; a final full-matrix
         # D += D.T measured 7.1 s at K=10k on the throttled host).
-        # Diagonal tiles mirror their strict-upper part so D stays exactly
-        # symmetric and the diagonal exactly zero regardless of last-ulp
-        # differences between the kernel's (u,v) and (v,u) paths.
+        # Diagonal tiles take their strict-upper part mirrored so D stays
+        # exactly symmetric and the diagonal exactly zero regardless of
+        # last-ulp differences between the kernel's (u,v) and (v,u) paths.
         seen = set()
         for u in range(len(ii)):
             I, J = int(ii[u]), int(jj[u])
@@ -451,19 +455,22 @@ def all_pairs_distances_tiled(
             seen.add((I, J))
             blk = blocks[u]
             r0, c0 = I * ti, J * ti
+            # pad sequences (sorted index >= K) exist only in the last tile
+            nr, nc = min(ti, K - r0), min(ti, K - c0)
             if norm:
-                ls = lens_p.astype(np.float32)
-                blk = blk / (
-                    ls[r0 : r0 + ti][:, None] + ls[c0 : c0 + ti][None, :]
+                blk = blk[:nr, :nc] / (
+                    ls_f[r0 : r0 + nr][:, None] + ls_f[c0 : c0 + nc][None, :]
                 )
-            if I == J:
-                dd = D[r0 : r0 + ti, c0 : c0 + ti]
-                vals = blk[iu_t]
-                dd[iu_t] = vals
-                dd[iu_t[1], iu_t[0]] = vals
             else:
-                D[r0 : r0 + ti, c0 : c0 + ti] = blk
-                D[c0 : c0 + ti, r0 : r0 + ti] = blk.T
+                blk = blk[:nr, :nc]
+            r_orig = perm[r0 : r0 + nr]
+            c_orig = perm[c0 : c0 + nc]
+            if I == J:
+                sym = np.triu(blk, k=1)
+                D[np.ix_(r_orig, c_orig)] = sym + sym.T
+            else:
+                D[np.ix_(r_orig, c_orig)] = blk
+                D[np.ix_(c_orig, r_orig)] = blk.T
         return len(seen)
 
     def collect_one():
@@ -527,8 +534,7 @@ def all_pairs_distances_tiled(
             collect_one()
     while pending:
         collect_one()
-    inv = np.argsort(perm)
-    return np.ascontiguousarray(D[np.ix_(inv, inv)])
+    return D
 
 
 def all_pairs_distances(
