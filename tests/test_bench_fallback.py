@@ -23,7 +23,9 @@ def test_bench_cpu_fallback_prints_json_line():
         text=True,
         cwd=REPO_ROOT,
         env=env,
-        timeout=540,
+        # generous: the host has ONE core, so any concurrent process (a
+        # TPU bench's host side, another suite) stretches this subprocess
+        timeout=900,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
