@@ -107,3 +107,44 @@ def test_train_fewer_frames_than_devices(rng):
         frames, cfg, data_sharding=data_sharding(mesh)
     )
     assert len(losses) == 2 and np.isfinite(losses).all()
+
+
+def test_pool_quantization_grid():
+    """Training pools >= 4096 frames snap UP to the 4096 ladder with
+    repeated real frames (shape-stable compiles across corpora); smaller
+    pools pass through untouched (small-corpus behavior stays
+    bit-identical, incl. the committed golden anchor)."""
+    from audio_pattern_discovery_tpu.models.autoencoder import (
+        _quantize_pool,
+    )
+
+    rng = np.random.default_rng(0)
+    small = rng.normal(0, 1, (4095, 8)).astype(np.float32)
+    assert _quantize_pool(small, seed=3) is small
+
+    exact = rng.normal(0, 1, (8192, 8)).astype(np.float32)
+    assert _quantize_pool(exact, seed=3) is exact
+
+    odd = rng.normal(0, 1, (5000, 8)).astype(np.float32)
+    q = _quantize_pool(odd, seed=3)
+    assert q.shape == (8192, 8)
+    assert q.dtype == np.float32
+    np.testing.assert_array_equal(q[:5000], odd)
+    # every pad row is a copy of some real row
+    matches = (q[5000:, None, :] == odd[None, :, :]).all(-1).any(-1)
+    assert matches.all()
+    # deterministic in the seed
+    np.testing.assert_array_equal(q, _quantize_pool(odd, seed=3))
+
+
+def test_pool_quantization_shares_one_compile(rng):
+    """Two corpora whose frame counts land on the same ladder point must
+    produce identical (pool, perm) shapes — the whole point: one compiled
+    train_epoch serves both."""
+    frames_a = _toy_frames(rng, n=4097)
+    frames_b = _toy_frames(rng, n=8192 - 1)
+    cfg = AutoencoderConfig(latent_dim=4, hidden_dims=(16,), epochs=1)
+    _, state_a, _ = train_autoencoder(frames_a, cfg)
+    _, state_b, _ = train_autoencoder(frames_b, cfg)
+    # same ladder point (8192) -> same batch count baked into both runs
+    assert state_a.step == state_b.step
