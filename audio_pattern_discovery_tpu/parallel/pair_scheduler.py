@@ -315,6 +315,51 @@ def make_tile_pair_class_fn(
     return pair_class
 
 
+def _merge_thin_classes(
+    by_class: dict[tuple[int, int], list],
+    min_programs: int = 16,
+) -> None:
+    """Merge (rows, scan) classes with few programs into neighbors, in
+    place.
+
+    Each distinct class compiles its own tile-kernel executable, and a
+    fresh process pays ~3 s activation per executable (cache load +
+    program shipping, BASELINE.md round-3) — far more than the DP rows a
+    thin class saves on its handful of programs, which also dispatch as
+    tiny poorly-amortized chunks.  The contract-scale class map held
+    singleton classes ((128, 7): 1 program at K=10k) before this pass.
+
+    Merging is contract-monotone — the merged class takes the pairwise
+    max of (rows, scan), and `dtw_tile_pairs`'s contracts only require
+    rows/scan to be >= each pair's true bounds — so correctness is
+    preserved by construction; the merge target minimizes a crude
+    device-time model (DP cost ~ programs * rows * (3 + scan_steps)).
+    """
+
+    def t(cls, n):
+        r, s = cls
+        return n * r * (3 + s)
+
+    while len(by_class) > 1:
+        small = min(by_class, key=lambda c: len(by_class[c]))
+        if len(by_class[small]) >= min_programs:
+            return
+        best, best_cost = None, None
+        for other in by_class:
+            if other == small:
+                continue
+            m = (max(small[0], other[0]), max(small[1], other[1]))
+            cost = (
+                t(m, len(by_class[small])) - t(small, len(by_class[small]))
+                + t(m, len(by_class[other])) - t(other, len(by_class[other]))
+            )
+            if best_cost is None or cost < best_cost:
+                best, best_cost = other, cost
+        m = (max(small[0], best[0]), max(small[1], best[1]))
+        merged = by_class.pop(small) + by_class.pop(best)
+        by_class.setdefault(m, []).extend(merged)
+
+
 def all_pairs_distances_tiled(
     features: np.ndarray,          # [K, L, d] padded segment features
     lengths: np.ndarray,           # [K] true frame counts
@@ -422,6 +467,8 @@ def all_pairs_distances_tiled(
     by_class: dict[tuple[int, int], list[tuple[int, int]]] = {}
     for pij in pairs_list:
         by_class.setdefault(pair_class(*pij), []).append(pij)
+    _merge_thin_classes(by_class)
+    stats["tile_classes"] = len(by_class)
     chunks: list[tuple[np.ndarray, np.ndarray, int, int]] = []
     for (rows_cls, scan_cls), plist in sorted(by_class.items()):
         for s in range(0, len(plist), chunk_programs):

@@ -274,3 +274,42 @@ def test_tile_pair_class_contracts():
             wv = np.maximum(band, np.abs(la[:, None] - lb[None, :]))
             live = 2 * np.minimum(wv, Lp).max() + 1
             assert (1 << scan_cls) >= min(live, Lp), (i, j, live, scan_cls)
+
+
+def test_merge_thin_classes():
+    """Thin (rows, scan) classes merge contract-monotonically: programs
+    are preserved, every program's merged class dominates its original
+    one pointwise, and no surviving class is thin (unless only one
+    class remains)."""
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        _merge_thin_classes,
+    )
+
+    rng = np.random.default_rng(11)
+    by = {}
+    orig = {}
+    for cls, n in [((64, 6), 38), ((80, 6), 70), ((96, 7), 3),
+                   ((112, 6), 1), ((128, 7), 2)]:
+        pairs = [(int(rng.integers(0, 50)), int(rng.integers(50, 99)))
+                 for _ in range(n)]
+        by[cls] = list(pairs)
+        for p in pairs:
+            orig.setdefault(p, cls)
+    total = sum(len(v) for v in by.values())
+    _merge_thin_classes(by, min_programs=16)
+    assert sum(len(v) for v in by.values()) == total
+    assert all(len(v) >= 16 for v in by.values()) or len(by) == 1
+    for cls, plist in by.items():
+        for p in plist:
+            r0, s0 = orig[p]
+            assert cls[0] >= r0 and cls[1] >= s0
+
+
+def test_merge_single_class_untouched():
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        _merge_thin_classes,
+    )
+
+    by = {(96, 6): [(0, 1)]}
+    _merge_thin_classes(by)
+    assert by == {(96, 6): [(0, 1)]}
