@@ -190,9 +190,12 @@ def _quantize_pool(frames: np.ndarray, seed: int) -> np.ndarray:
     applies the same trick (its 4096-multiple tail pad below).  Pools
     under 4096 frames are left EXACTLY as-is: tiny compiles are the same
     price either way, and small-corpus behavior (tests, the committed
-    golden anchor) stays bit-identical.  Duplicated frames are a random
-    <= 1-batch-per-epoch resample of the same distribution — the pool is
-    already a redundant frame sample, not a curated set.
+    golden anchor) stays bit-identical.  Padding adds up to 4095
+    duplicated frames — worst case ~50% of an n=4097 pool, fading to
+    < 4% at 100k frames.  The duplicates are a uniform random resample
+    of the real pool, so they only reweight per-epoch sampling slightly
+    (the pool is already a redundant frame sample, not a curated set);
+    config-5's quality gates stayed 1.0 under it.
     """
     n = frames.shape[0]
     if n < _POOL_GRID or n % _POOL_GRID == 0:

@@ -318,6 +318,7 @@ def make_tile_pair_class_fn(
 def _merge_thin_classes(
     by_class: dict[tuple[int, int], list],
     min_programs: int = 16,
+    max_merge_cost: int = 400_000,
 ) -> None:
     """Merge (rows, scan) classes with few programs into neighbors, in
     place.
@@ -334,6 +335,16 @@ def _merge_thin_classes(
     rows/scan to be >= each pair's true bounds — so correctness is
     preserved by construction; the merge target minimizes a crude
     device-time model (DP cost ~ programs * rows * (3 + scan_steps)).
+
+    `max_merge_cost` caps the model-units a single merge may add, so a
+    thin class with only EXPENSIVE neighbors (length-skewed corpus: one
+    long-sequence program next to a 10k-program short-sequence bulk
+    class) keeps its own executable instead of upgrading the bulk.
+    Calibration: one (128, 6) program = 128*(3+6) = 1152 units ~ 8 ms
+    measured, so a unit ~ 7 us and 400k units ~ 2.8 s ~ one activation —
+    merges are accepted only while they cost less than the activation
+    they save.  (The model ignores pow2 chunk-tail padding shifts; those
+    are bounded by one extra sub-2x tail chunk either way.)
     """
 
     def t(cls, n):
@@ -341,22 +352,28 @@ def _merge_thin_classes(
         return n * r * (3 + s)
 
     while len(by_class) > 1:
-        small = min(by_class, key=lambda c: len(by_class[c]))
-        if len(by_class[small]) >= min_programs:
+        thin = [c for c in by_class if len(by_class[c]) < min_programs]
+        if not thin:
             return
-        best, best_cost = None, None
-        for other in by_class:
-            if other == small:
-                continue
-            m = (max(small[0], other[0]), max(small[1], other[1]))
-            cost = (
-                t(m, len(by_class[small])) - t(small, len(by_class[small]))
-                + t(m, len(by_class[other])) - t(other, len(by_class[other]))
-            )
-            if best_cost is None or cost < best_cost:
-                best, best_cost = other, cost
-        m = (max(small[0], best[0]), max(small[1], best[1]))
-        merged = by_class.pop(small) + by_class.pop(best)
+        best = None  # (cost, small, target)
+        for small in thin:
+            for other in by_class:
+                if other == small:
+                    continue
+                m = (max(small[0], other[0]), max(small[1], other[1]))
+                cost = (
+                    t(m, len(by_class[small]))
+                    - t(small, len(by_class[small]))
+                    + t(m, len(by_class[other]))
+                    - t(other, len(by_class[other]))
+                )
+                if best is None or cost < best[0]:
+                    best = (cost, small, other)
+        if best[0] > max_merge_cost:
+            return
+        _, small, target = best
+        m = (max(small[0], target[0]), max(small[1], target[1]))
+        merged = by_class.pop(small) + by_class.pop(target)
         by_class.setdefault(m, []).extend(merged)
 
 

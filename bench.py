@@ -173,9 +173,24 @@ def main() -> int:
         all_pairs = [(i, j) for i in range(nT) for j in range(i + 1, nT)]
         stride = max(1, len(all_pairs) // 64)
         pairs = all_pairs[::stride][:64]
+        # The production scheduler merges thin classes before dispatch, so
+        # label pairs with the classes that merge pass would produce for
+        # THIS corpus's full tile-pair population (merging only the 64
+        # sampled pairs' map would over-merge: per-class counts in a
+        # sample are not the population's) — the headline then measures
+        # the SHIPPED program shapes.
+        from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+            _merge_thin_classes,
+        )
+
+        all_by: dict = {}
+        for i, j in all_pairs:
+            all_by.setdefault(pair_class(i, j), []).append((i, j))
+        _merge_thin_classes(all_by)
+        cls_of = {p: c for c, ps in all_by.items() for p in ps}
         groups: dict = {}
-        for i, j in pairs:
-            groups.setdefault(pair_class(i, j), []).append((i, j))
+        for p in pairs:
+            groups.setdefault(cls_of[p], []).append(p)
         tparts = [
             (
                 rows_cls, scan_cls,

@@ -285,16 +285,17 @@ def test_merge_thin_classes():
         _merge_thin_classes,
     )
 
-    rng = np.random.default_rng(11)
     by = {}
     orig = {}
+    uid = 0
     for cls, n in [((64, 6), 38), ((80, 6), 70), ((96, 7), 3),
                    ((112, 6), 1), ((128, 7), 2)]:
-        pairs = [(int(rng.integers(0, 50)), int(rng.integers(50, 99)))
-                 for _ in range(n)]
+        # unique pairs across ALL classes, so orig[p] is unambiguous
+        pairs = [(uid + k, 1000 + uid + k) for k in range(n)]
+        uid += n
         by[cls] = list(pairs)
         for p in pairs:
-            orig.setdefault(p, cls)
+            orig[p] = cls
     total = sum(len(v) for v in by.values())
     _merge_thin_classes(by, min_programs=16)
     assert sum(len(v) for v in by.values()) == total
@@ -313,3 +314,18 @@ def test_merge_single_class_untouched():
     by = {(96, 6): [(0, 1)]}
     _merge_thin_classes(by)
     assert by == {(96, 6): [(0, 1)]}
+
+
+def test_merge_cost_ceiling_keeps_skewed_thin_class():
+    """A thin class whose only neighbors are huge cheap-rows bulk classes
+    must KEEP its own executable: upgrading 10k programs to rows=128
+    costs far more device time than the one activation saved."""
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        _merge_thin_classes,
+    )
+
+    bulk = [(k, 20000 + k) for k in range(10000)]
+    thin = [(99999, 199999)]
+    by = {(16, 7): list(bulk), (128, 7): list(thin)}
+    _merge_thin_classes(by)
+    assert by == {(16, 7): bulk, (128, 7): thin}
