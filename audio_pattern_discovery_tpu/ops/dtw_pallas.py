@@ -79,7 +79,24 @@ _CMAT_VMEM_BUDGET = 16 * 1024 * 1024
 _STRIPE_PANEL_ROWS = 128  # MXU-row-sized Gram panels for the stripe build
 
 
-def default_pair_block(seq_len: int) -> int:
+def _input_pb_cap(seq_len: int, feat_dim: int) -> int:
+    """Largest pow2 PB whose INPUT windows fit ~64 MiB of VMEM.
+
+    Two operands x two double-buffer levels of [PB, da, S] f32, with
+    Mosaic layout padding da to a sublane (8) multiple and S to a lane
+    (128) multiple — hardware-verified: a [256, 513, 32] window allocates
+    256*520*128*4 = 68 MiB PER buffering level, which OOMed the
+    raw-feature (AE-off) path while latent-width features never came
+    close.  Floor 8: below that the block is degenerate; let the
+    compiler's own budget be the final arbiter.
+    """
+    da = 8 * -(-(feat_dim + 2) // 8)
+    sp = 128 * -(-seq_len // 128)
+    cap = (64 * 1024 * 1024) // (16 * da * sp)
+    return int(max(8, 1 << max(0, cap.bit_length() - 1)))
+
+
+def default_pair_block(seq_len: int, feat_dim: int | None = None) -> int:
     """Pairs per kernel program: as fat as the Gram scratch allows.
 
     The row loop is latency-bound (S sequential steps); per-step throughput
@@ -87,10 +104,15 @@ def default_pair_block(seq_len: int) -> int:
     PB*S*S*4 bytes of cost matrix fits the VMEM budget (the pallas_call
     lifts Mosaic's scoped-VMEM limit to match; a v5e core has 128 MiB).
     Swept on-chip at S=128/B=32k: PB 128 -> 897k pairs/s, 256 -> 977k,
-    512 -> 883k; 256 is the knee.
+    512 -> 883k; 256 is the knee.  With `feat_dim`, additionally cap so
+    the input windows fit (`_input_pb_cap`) — high-d raw-feature corpora
+    are input-bound, not scratch-bound.
     """
     pb = _CMAT_VMEM_BUDGET // (seq_len * seq_len * 4)
-    return int(max(8, min(256, 1 << (pb.bit_length() - 1))))
+    pb = int(max(8, min(256, 1 << (pb.bit_length() - 1))))
+    if feat_dim is not None:
+        pb = min(pb, _input_pb_cap(seq_len, feat_dim))
+    return pb
 
 
 def scan_len_diff_classes(
@@ -437,7 +459,12 @@ def _dtw_batch_stripe(
     off = wv_max + 1
     RB = min(_STRIPE_PANEL_ROWS, R)
     scan_steps = int(max(1, (2 * wv_max).bit_length()))  # ceil(log2(2wv+1))
-    PB = pair_block or _stripe_pair_block(R, W, RB)
+    PB = pair_block or min(
+        _stripe_pair_block(R, W, RB),
+        # the b operand ships [PB, da, S + PADL] — same input-window VMEM
+        # constraint as the square kernel (high-d raw features OOM first)
+        _input_pb_cap(S + off, d),
+    )
 
     pad = (-B) % PB
     if pad:
@@ -720,17 +747,37 @@ def _dtw_tile_kernel(
     jax.lax.fori_loop(0, n_sub, subtile, 0)
 
 
-def tile_geometry(seq_len: int) -> tuple[int, int, int] | None:
-    """(ti, su, sv) for the tile kernel, or None when the padded length is
-    out of its range.  The cmat scratch is S*su*sv*S*4 bytes; su*sv shrinks
+def tile_geometry(
+    seq_len: int, feat_dim: int | None = None
+) -> tuple[int, int, int] | None:
+    """(ti, su, sv) for the tile kernel, or None when the shape is out of
+    its range.  The cmat scratch is S*su*sv*S*4 bytes; su*sv shrinks
     with S^2 so it stays ~33-67 MB under the lifted 100 MiB VMEM budget.
     Swept on-chip at S=128: (8,32)/(8,64)/(16,32)/(16,64) -> 1.49/1.54/
-    1.54/1.53M pairs/s; (8,64) is the plateau."""
+    1.54/1.53M pairs/s; (8,64) is the plateau.
+
+    `feat_dim` (the pre-augmentation channel count d) gates the INPUT
+    working set: both [ti, d+2, S] sequence tiles live in VMEM alongside
+    the scratch, so high-d corpora (raw 513-bin spectrogram features with
+    the AE disabled: 67 MB per tile at S=256) overflow the budget that
+    latent-width features never approach.  Found on hardware — Mosaic
+    OOMs at compile time — so routing passes d and falls back to the
+    per-pair kernels when this returns None.  None skips the check (for
+    callers that only size the grid)."""
+    geom = None
     if seq_len <= 128:
-        return 128, 8, 64
-    if seq_len <= 256:
-        return 128, 8, 16
-    return None
+        geom = 128, 8, 64
+    elif seq_len <= 256:
+        geom = 128, 8, 16
+    if geom is None or feat_dim is None:
+        return geom
+    ti = geom[0]
+    S = 128 * -(-seq_len // 128)
+    inputs_bytes = 2 * ti * (feat_dim + 2) * S * 4
+    cmat_bytes = S * geom[1] * geom[2] * S * 4
+    if inputs_bytes + cmat_bytes > 80 * 1024 * 1024:
+        return None
+    return geom
 
 
 @partial(
@@ -926,7 +973,7 @@ def dtw_batch_pallas(
             max_len_diff=max_len_diff, interpret=interpret,
         )
     if pair_block is None:
-        pair_block = default_pair_block(S)
+        pair_block = default_pair_block(S, d)
     if S > MAX_KERNEL_SEQ_LEN:
         raise ValueError(
             f"padded length {S} > {MAX_KERNEL_SEQ_LEN} and the band-limited "

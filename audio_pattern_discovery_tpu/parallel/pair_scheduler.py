@@ -413,8 +413,8 @@ def all_pairs_distances_tiled(
     # make pad frames free, and DP rows stay bounded by true lengths.
     # (A test-provided geometry override keeps L as-is for interpret runs.)
     Lp = L if geometry is not None else 128 * -(-L // 128)
-    geom = geometry or tile_geometry(Lp)
-    assert geom is not None, f"tile kernel out of range for L={L}"
+    geom = geometry or tile_geometry(Lp, d)
+    assert geom is not None, f"tile kernel out of range for L={L}, d={d}"
     ti, su, sv = geom
 
     Kp = -(-K // ti) * ti
@@ -639,7 +639,7 @@ def all_pairs_distances(
         tiled = bool(
             cfg.use_pallas
             and _on_tpu()
-            and tile_geometry(L) is not None
+            and tile_geometry(L, features.shape[2]) is not None
             and matmul_dtype is None
             and cfg.dtype != "bfloat16"
         )

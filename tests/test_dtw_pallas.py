@@ -297,3 +297,23 @@ def test_stripe_vs_square_kernel_parity(rng):
             )
         )
         np.testing.assert_allclose(stripe, square, rtol=1e-3, atol=1e-3)
+
+
+def test_pair_block_input_cap_high_dim():
+    """Hardware-found OOM: [256, 513, 32] input windows allocate 68 MiB
+    per buffering level (Mosaic pads 513->520 sublanes, 32->128 lanes).
+    default_pair_block must cap PB by the input working set at high d,
+    and leave the latent-width defaults untouched."""
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        default_pair_block,
+    )
+
+    # latent-width: unchanged by the cap
+    assert default_pair_block(128) == default_pair_block(128, 16)
+    assert default_pair_block(128, 16) == 256
+    # raw 513-bin features: inputs bind well below the cmat-only sizing
+    assert default_pair_block(32, 513) < 256
+    pb = default_pair_block(32, 513)
+    da, sp = 8 * -(-(513 + 2) // 8), 128
+    assert 16 * pb * da * sp <= 64 * 1024 * 1024
+    assert default_pair_block(256, 513) >= 8  # floor, compiler arbitrates

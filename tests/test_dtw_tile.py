@@ -157,6 +157,13 @@ def test_tile_geometry_ranges():
     assert tile_geometry(256) == (128, 8, 16)
     assert tile_geometry(257) is None
     assert tile_geometry(512) is None
+    # feat_dim gates the VMEM input working set (hardware-found OOM:
+    # raw 513-bin features with the AE disabled must route per-pair)
+    assert tile_geometry(128, 16) == (128, 8, 64)
+    assert tile_geometry(256, 16) == (128, 8, 16)
+    assert tile_geometry(128, 513) is None
+    assert tile_geometry(256, 513) is None
+    assert tile_geometry(128, 200) == (128, 8, 64)
 
 
 def test_tile_block_transpose_symmetry():
