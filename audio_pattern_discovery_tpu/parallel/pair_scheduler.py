@@ -41,6 +41,14 @@ from audio_pattern_discovery_tpu.ops.dtw_pallas import (
 )
 
 
+# Direct (original-order) block scatter is used while D fits comfortably
+# in host cache-friendly territory; above this the per-block random-row
+# writes degrade superlinearly (measured: K=20k/1.6 GB fine and fully
+# hidden under device wait, K=40k/6.7 GB spent 100-280 s scattering) and
+# the contiguous-sorted + one-final-gather strategy wins.
+_DIRECT_SCATTER_BYTES = 2 * 1024**3
+
+
 def _long_block_shape(bucket: int, cap: int = 256) -> tuple[int, int]:
     """(block, padded_len) for the blocked long-sequence path: a healthy
     tile size with the bucket padded UP to a multiple of it (dtw_long needs
@@ -418,17 +426,25 @@ def all_pairs_distances_tiled(
     ti, su, sv = geom
 
     Kp = -(-K // ti) * ti
-    D = np.zeros((K, K), dtype=np.float32)
     # Sort sequences by length: tiles then hold near-constant lengths, so
     # each tile-pair gets a TIGHT static DP row count (the A-tile's max
     # length) and banded scan depth (from the tile-pair's length spread) —
     # the DP loop is ~70% of the kernel, and the average A-tile of an
-    # upper-triangle pair is the shorter one.  Blocks scatter STRAIGHT
-    # into original-order D via per-block fancy writes: that work rides
-    # the collect loop (overlapped with device compute — the host has
-    # ~20 s of slack per contract-scale job), whereas the old sorted-space
-    # D needed a final full-matrix np.ix_ un-permute that ran as a pure
-    # ~1.4 s non-overlappable tail at K=10k.
+    # upper-triangle pair is the shorter one.
+    #
+    # Two un-permutation strategies, chosen by matrix size (both measured,
+    # BASELINE.md round 3): up to ~contract scale, blocks fancy-scatter
+    # STRAIGHT into original-order D inside the collect loop — that work
+    # hides under the device wait and kills the non-overlappable final
+    # gather (~1.4 s at K=10k, 24.7 s job).  Past ~2 GB of matrix ANY
+    # per-block write into D thrashes the host (measured at K=40k:
+    # 100-280 s direct-scattered, 127 s + a 65-228 s final gather via a
+    # sorted-space matrix), so large jobs assemble per ROW STRIP: blocks
+    # land in a cache-sized [<=ti, K] buffer per sorted row-strip, and a
+    # completed strip flushes once — one vectorized column un-permute +
+    # ti contiguous row writes — touching D exactly once, sequentially.
+    direct = K * K * 4 <= _DIRECT_SCATTER_BYTES
+    D = np.zeros((K, K), dtype=np.float32)
     perm = np.argsort(lengths, kind="stable").astype(np.int64)
     lens_sorted = lengths[perm]
     lens_p = np.ones((Kp,), np.int32)
@@ -504,6 +520,27 @@ def all_pairs_distances_tiled(
 
     ls_f = lens_p.astype(np.float32)
 
+    # strip-assembly state (large-K path; see strategy comment above)
+    inv = None if direct else np.argsort(perm)
+    strip_bufs: dict[int, np.ndarray] = {}
+    strip_left: dict[int, int] = {}
+
+    def strip_add(I, c0, part):
+        buf = strip_bufs.get(I)
+        if buf is None:
+            buf = np.zeros((min(ti, K - I * ti), K), np.float32)
+            strip_bufs[I] = buf
+            # strip I receives one piece per tile: from pairs (I, J >= I)
+            # directly and (J < I, I) mirrored — nT pieces total
+            strip_left[I] = nT
+        buf[:, c0 : c0 + part.shape[1]] = part
+        strip_left[I] -= 1
+        if strip_left[I] == 0:
+            del strip_left[I]
+            buf = strip_bufs.pop(I)
+            rows = perm[I * ti : I * ti + buf.shape[0]]
+            D[rows] = np.take(buf, inv, axis=1)
+
     def scatter_chunk(ii, jj, blocks):
         # Each (I, J) appears once.  Both triangles are written per block
         # (mirroring the 64 KB block is ~0.1 ms; a final full-matrix
@@ -527,14 +564,22 @@ def all_pairs_distances_tiled(
                 )
             else:
                 blk = blk[:nr, :nc]
-            r_orig = perm[r0 : r0 + nr]
-            c_orig = perm[c0 : c0 + nc]
-            if I == J:
-                sym = np.triu(blk, k=1)
-                D[np.ix_(r_orig, c_orig)] = sym + sym.T
+            if direct:
+                r_orig = perm[r0 : r0 + nr]
+                c_orig = perm[c0 : c0 + nc]
+                if I == J:
+                    sym = np.triu(blk, k=1)
+                    D[np.ix_(r_orig, c_orig)] = sym + sym.T
+                else:
+                    D[np.ix_(r_orig, c_orig)] = blk
+                    D[np.ix_(c_orig, r_orig)] = blk.T
             else:
-                D[np.ix_(r_orig, c_orig)] = blk
-                D[np.ix_(c_orig, r_orig)] = blk.T
+                if I == J:
+                    sym = np.triu(blk, k=1)
+                    strip_add(I, c0, sym + sym.T)
+                else:
+                    strip_add(I, c0, blk)
+                    strip_add(J, r0, np.ascontiguousarray(blk.T))
         return len(seen)
 
     def collect_one():
@@ -598,6 +643,7 @@ def all_pairs_distances_tiled(
             collect_one()
     while pending:
         collect_one()
+    assert not strip_bufs, "incomplete row strips after all chunks"
     return D
 
 

@@ -336,3 +336,24 @@ def test_merge_cost_ceiling_keeps_skewed_thin_class():
     by = {(16, 7): list(bulk), (128, 7): list(thin)}
     _merge_thin_classes(by)
     assert by == {(16, 7): bulk, (128, 7): thin}
+
+
+def test_scatter_strategies_identical(monkeypatch):
+    """The size-based hybrid (direct original-order scatter vs sorted-space
+    + final gather) must be a pure implementation detail: same D either
+    side of the threshold."""
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
+
+    feats, lengths = _mk(40, seed=9)
+    cfg = DTWConfig(band=8, normalize="path_len")
+    D_direct = ps.all_pairs_distances_tiled(
+        np.asarray(feats), np.asarray(lengths), cfg, interpret=True,
+        geometry=(TI, SU, SV),
+    )
+    monkeypatch.setattr(ps, "_DIRECT_SCATTER_BYTES", 0)
+    D_sorted = ps.all_pairs_distances_tiled(
+        np.asarray(feats), np.asarray(lengths), cfg, interpret=True,
+        geometry=(TI, SU, SV),
+    )
+    np.testing.assert_array_equal(D_direct, D_sorted)
