@@ -50,7 +50,25 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="KEY=VALUE",
         help="dotted config override, e.g. -s dtw.band=32 -s cluster.n_clusters=5",
     )
+    p.add_argument(
+        "--update",
+        action="store_true",
+        help="incremental update: reuse the distance matrix in --out-dir "
+        "from a prior run over the same directory; only DTW pairs touching "
+        "newly added WAVs are computed (the embedding model is frozen from "
+        "the prior run)",
+    )
     p.add_argument("--dump-config", action="store_true", help="print config and exit")
+    p.add_argument(
+        "--doctor",
+        action="store_true",
+        help="print environment diagnostics as JSON and exit: versions, "
+        "native lib, compile cache, and live device probes (backend "
+        "handshake, dispatch RPC floor, observable HBM bandwidth — the "
+        "quantities that decide whether a slow run is tunnel weather or a "
+        "regression).  APD_FORCE_CPU=1 restricts it to host-only checks "
+        "without touching the TPU (safe next to a running job).",
+    )
     p.add_argument("--json-logs", action="store_true")
     p.add_argument(
         "--trace",
@@ -69,6 +87,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_config:
         print(json.dumps(cfg.to_dict(), indent=2))
         return 0
+    if args.doctor:
+        import os
+
+        if os.environ.get("APD_FORCE_CPU"):
+            # The axon TPU plugin ignores the JAX_PLATFORMS env var; the
+            # config flag is the working off-TPU switch (CLAUDE.md gotcha).
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        from audio_pattern_discovery_tpu.utils.doctor import run_doctor
+
+        print(json.dumps(run_doctor(), indent=2))
+        return 0
     if args.wav_dir is None:
         build_parser().error("wav_dir is required (unless --dump-config)")
     try:
@@ -76,13 +107,20 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         build_parser().error(str(e))
     log = get_logger(json_lines=args.json_logs)
+    update_from = args.out_dir if args.update else None
     if args.trace:
         from audio_pattern_discovery_tpu.utils.profiling import trace_to
 
         with trace_to(args.trace):
-            result = discover(args.wav_dir, cfg, out_dir=args.out_dir, logger=log)
+            result = discover(
+                args.wav_dir, cfg, out_dir=args.out_dir, logger=log,
+                update_from=update_from,
+            )
     else:
-        result = discover(args.wav_dir, cfg, out_dir=args.out_dir, logger=log)
+        result = discover(
+            args.wav_dir, cfg, out_dir=args.out_dir, logger=log,
+            update_from=update_from,
+        )
     print(
         json.dumps(
             {

@@ -52,8 +52,17 @@ class StreamingCorpus:
         expected_rate: int | None = None,
         use_native: bool = True,
         chunk: int = 16,
+        paths: list[Path] | None = None,
     ):
-        self.paths = sorted(Path(wav_dir).glob(pattern))
+        # An explicit `paths` list overrides the sorted glob: incremental
+        # update needs prior clips at their original indices (stored order)
+        # with new clips appended, which a re-sorted merged listing would
+        # interleave.
+        self.paths = (
+            [Path(p) for p in paths]
+            if paths is not None
+            else sorted(Path(wav_dir).glob(pattern))
+        )
         if not self.paths:
             raise FileNotFoundError(f"no {pattern} files under {wav_dir}")
         self.chunk = max(1, chunk)

@@ -76,9 +76,14 @@ def enumerate_pair_blocks(
     max_len: int,
     band: int | None = None,
     auto_widen: bool = True,
+    new_from: int | None = None,
 ):
     """Yield (row_cap, bucket_len, max_len_diff, ii, jj) blocks covering the
     upper triangle.
+
+    `new_from`: incremental-update filter — only pairs with at least one
+    index >= new_from are emitted (pairs among indices < new_from are
+    already known to the caller; SS6.4 incremental corpus growth).
 
     DTW is symmetric, so every pair is oriented shorter-first (ii = shorter
     sequence): the kernel's sequential row loop then runs only row_cap
@@ -138,6 +143,11 @@ def enumerate_pair_blocks(
                     continue
                 ii = np.repeat(ga, len(gb))
                 jj = np.tile(gb, len(ga))
+            if new_from is not None:
+                keep = (ii >= new_from) | (jj >= new_from)
+                if not keep.any():
+                    continue
+                ii, jj = ii[keep], jj[keep]
             if len(classes) == 1:
                 splits = [(int(classes[0]), ii, jj)]
             else:
@@ -398,6 +408,7 @@ def all_pairs_distances_tiled(
     chunk_programs: int = 64,
     interpret: bool = False,
     geometry: tuple[int, int, int] | None = None,
+    known: tuple[int, np.ndarray] | None = None,
 ) -> np.ndarray:
     """Symmetric [K, K] DTW matrix via the all-pairs TILE kernel.
 
@@ -410,6 +421,15 @@ def all_pairs_distances_tiled(
     the per-pair scheduler.  No length bucketing: every pair pays L rows,
     but at ~140 B/pair of traffic the extra rows are far cheaper than the
     16 KB/pair the bucketed gather path ships.
+
+    `known=(k_old, D_old)`: incremental update.  Distances among the first
+    k_old sequences are taken from D_old; the sort permutation groups old
+    sequences before new ones (each side length-sorted, so tiles stay
+    length-coherent) and tile-pairs whose tiles are both pure-old are
+    skipped entirely — the computed fraction scales with the new-pair
+    share, not the full triangle.  The one boundary tile mixing old and
+    new recomputes its old x old pairs; same features, same kernel, so
+    the overwrite is a no-op numerically.
     """
     K, L, d = features.shape
     lengths = np.asarray(lengths, dtype=np.int32)
@@ -443,9 +463,27 @@ def all_pairs_distances_tiled(
     # land in a cache-sized [<=ti, K] buffer per sorted row-strip, and a
     # completed strip flushes once — one vectorized column un-permute +
     # ti contiguous row writes — touching D exactly once, sequentially.
-    direct = K * K * 4 <= _DIRECT_SCATTER_BYTES
+    # Update jobs force direct scatter: skipped tile-pairs would leave row
+    # strips permanently incomplete (strip_left counts all nT pieces), and
+    # the strip path's pathology — every block thrashing a > 2 GB matrix —
+    # doesn't apply when only the new-pair fraction of blocks is computed.
+    direct = known is not None or K * K * 4 <= _DIRECT_SCATTER_BYTES
     D = np.zeros((K, K), dtype=np.float32)
-    perm = np.argsort(lengths, kind="stable").astype(np.int64)
+    if known is not None:
+        k_old, D_old = known
+        D[:k_old, :k_old] = D_old
+        # Group old before new (each side length-sorted): tiles then hold
+        # only-old or only-new sequences (plus at most one boundary tile),
+        # so pure-old tile-pairs can be skipped instead of scattering new
+        # indices across every tile.
+        perm = np.concatenate(
+            [
+                np.argsort(lengths[:k_old], kind="stable"),
+                k_old + np.argsort(lengths[k_old:], kind="stable"),
+            ]
+        ).astype(np.int64)
+    else:
+        perm = np.argsort(lengths, kind="stable").astype(np.int64)
     lens_sorted = lengths[perm]
     lens_p = np.ones((Kp,), np.int32)
     lens_p[:K] = lens_sorted
@@ -478,6 +516,16 @@ def all_pairs_distances_tiled(
 
     pairs_list = [(i, j) for i in range(nT) for j in range(i, nT)]
     n_all_pairs = K * (K - 1) // 2
+    if known is not None:
+        # Skip tile-pairs with no new sequence on either side; their pairs
+        # are all in D_old.  (Pad positions >= K are never "new".)
+        pos_new = np.zeros(nT * ti, bool)
+        pos_new[:K] = perm >= k_old
+        tile_new = [bool(pos_new[t * ti : (t + 1) * ti].any()) for t in range(nT)]
+        pairs_list = [
+            (i, j) for (i, j) in pairs_list if tile_new[i] or tile_new[j]
+        ]
+        n_all_pairs -= k_old * (k_old - 1) // 2
     if stats is None:
         stats = {}
     stats.update(
@@ -660,6 +708,7 @@ def all_pairs_distances(
     max_retries: int = 1,
     stats: dict | None = None,
     tiled: bool | None = None,
+    known: tuple[int, np.ndarray] | None = None,
 ) -> np.ndarray:
     """Symmetric [K, K] DTW distance matrix over all segment pairs.
 
@@ -672,9 +721,21 @@ def all_pairs_distances(
     (and, with `block_dir`, already persisted).
     `stats`: optional dict filled with host-side timing breakdown
     (dispatch_s, collect_s, persist_s, blocks, pad_pairs) for perf triage.
+    `known=(k_old, D_old)`: incremental corpus growth (SS6.4) — the first
+    k_old sequences' pairwise distances are taken from D_old (a prior run
+    over byte-identical features); only pairs touching a new sequence are
+    computed, so update cost scales with the new-pair share of the
+    triangle, not K^2.
     """
     K, L, _ = features.shape
     lengths = np.asarray(lengths, dtype=np.int32)
+    if known is not None:
+        k_old, D_old = known
+        if not (0 <= k_old <= K and D_old.shape == (k_old, k_old)):
+            raise ValueError(
+                f"known: D_old shape {D_old.shape} != ({k_old}, {k_old}) "
+                f"or k_old {k_old} out of range for K={K}"
+            )
 
     # Round-3 fast path: the all-pairs TILE kernel whenever it applies
     # (TPU, pallas on, padded length in the tile range).  `tiled` forces
@@ -695,6 +756,7 @@ def all_pairs_distances(
             block_dir=block_dir, progress=progress, devices=devices,
             max_retries=max_retries, stats=stats,
             interpret=not _on_tpu(),
+            known=known,
         )
 
     if cfg.length_bucketing:
@@ -720,6 +782,8 @@ def all_pairs_distances(
     # The non-Pallas scan path materializes [B, S, S] cost tensors, so cap
     # the batch off-TPU where the default was tuned for the VMEM kernel.
     n_all_pairs = K * (K - 1) // 2
+    if known is not None:
+        n_all_pairs -= k_old * (k_old - 1) // 2
     B = int(min(cfg.pair_batch, max(8, -(-n_all_pairs // 8) * 8)))
     if not _on_tpu():
         B = min(B, 1024)
@@ -745,7 +809,8 @@ def all_pairs_distances(
     def blocks_iter():
         t0 = time.perf_counter()
         for row_cap, bucket, mld, ii, jj in enumerate_pair_blocks(
-            lengths, B, step, L, band=cfg.band, auto_widen=cfg.auto_widen_band
+            lengths, B, step, L, band=cfg.band, auto_widen=cfg.auto_widen_band,
+            new_from=None if known is None else k_old,
         ):
             cap = max(512, gather_budget // (bucket * d_feat * 8))
             # Mirror the dispatch-time routing predicate exactly: the stripe
@@ -877,4 +942,8 @@ def all_pairs_distances(
     # Pairs scatter into one triangle each (orientation varies per block);
     # the matrix is their disjoint union, so D + D.T symmetrizes exactly.
     D += D.T
+    if known is not None:
+        # The old x old block was never enumerated; its distances come from
+        # the prior run (after symmetrization, so nothing doubles).
+        D[:k_old, :k_old] = D_old
     return D

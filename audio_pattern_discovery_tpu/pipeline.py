@@ -197,16 +197,94 @@ def _medoid(D: np.ndarray, members: list[int]) -> int:
     return members[int(np.argmin(sub.sum(axis=1)))]
 
 
+def _feature_fingerprint(cfg: PipelineConfig) -> str:
+    """Hash of the config sections that determine segment features and DTW
+    distances.  Incremental update reuses a prior run's distance matrix,
+    which is only sound while these sections are unchanged; cluster/output/
+    parallel knobs may differ freely (they act downstream of D)."""
+    import dataclasses
+    import hashlib
+
+    payload = repr(
+        (
+            dataclasses.asdict(cfg.spectrogram),
+            dataclasses.asdict(cfg.segmentation),
+            dataclasses.asdict(cfg.autoencoder),
+            dataclasses.asdict(cfg.dtw),
+        )
+    )
+    return hashlib.sha1(payload.encode()).hexdigest()
+
+
+def _load_update_state(update_from: Path) -> tuple[dict, np.ndarray]:
+    state_path = update_from / "state.json"
+    d_path = update_from / "distance_matrix.npy"
+    if not state_path.exists() or not d_path.exists():
+        raise FileNotFoundError(
+            f"--update needs a prior run's state.json + distance_matrix.npy "
+            f"under {update_from}; run a full discovery there first"
+        )
+    state = json.loads(state_path.read_text())
+    D_old = np.load(d_path)
+    if D_old.shape != (len(state["segments"]),) * 2:
+        raise ValueError(
+            f"{d_path}: shape {D_old.shape} does not match the "
+            f"{len(state['segments'])} segments recorded in state.json"
+        )
+    return state, D_old
+
+
 def discover(
     wav_dir: str | Path,
     config: PipelineConfig | None = None,
     out_dir: str | Path | None = None,
     logger=None,
+    update_from: str | Path | None = None,
 ) -> DiscoveryResult:
-    """Run the full discovery pipeline over a directory of WAV files."""
+    """Run the full discovery pipeline over a directory of WAV files.
+
+    `update_from`: incremental corpus growth (SS6.4) — point at a prior
+    run's out_dir (state.json + distance_matrix.npy) and only DTW pairs
+    touching clips added since that run are computed; the quadratic stage's
+    cost scales with the new-pair share instead of K^2.  The linear stages
+    (spectrogram, segmentation, AE *encode*) re-run over the whole corpus —
+    they are deterministic, so prior distances stay byte-valid — and the
+    embedding model is FROZEN from the prior run (its orbax checkpoint is
+    restored, never retrained), which is what makes distance reuse sound.
+    Requires: the feature-affecting config sections unchanged, all prior
+    WAVs still present, and (with the AE enabled) a prior run that saved
+    its checkpoint (autoencoder.checkpoint=true).
+    """
     cfg = (config or PipelineConfig()).validate()
     log = logger or get_logger()
     counters = StageCounters()
+
+    update_state: dict | None = None
+    D_old: np.ndarray | None = None
+    k_old = 0
+    if update_from is not None:
+        update_from = Path(update_from)
+        update_state, D_old = _load_update_state(update_from)
+        fp = _feature_fingerprint(cfg)
+        if update_state["feature_fingerprint"] != fp:
+            raise ValueError(
+                "update_from: a feature-affecting config section "
+                "(spectrogram/segmentation/autoencoder/dtw) differs from the "
+                "prior run's — the stored distances would not match; run a "
+                "full discovery instead"
+            )
+        if cfg.autoencoder.enabled:
+            from audio_pattern_discovery_tpu.utils.checkpoint import (
+                has_ae_checkpoint,
+            )
+
+            if not has_ae_checkpoint(update_from / cfg.autoencoder.checkpoint_dir):
+                raise ValueError(
+                    "update_from: the autoencoder is enabled but the prior "
+                    "run saved no checkpoint — the frozen embedding model is "
+                    "required to reuse its distances (rerun the full "
+                    "discovery with -s autoencoder.checkpoint=true)"
+                )
 
     # Multi-chip (SS3 rows 9-10): pair blocks round-robin across all data-
     # axis devices; AE minibatches shard over the same axis (grad all-reduce
@@ -254,7 +332,29 @@ def discover(
     # missing #3).  The ingest stage timer therefore covers only header
     # probing; clip IO lands inside the (overlapped) spectrogram stage.
     with counters.time_stage("ingest"):
-        stream = StreamingCorpus(wav_dir)
+        ordered_paths = None
+        if update_state is not None:
+            # Prior clips keep their original indices (stored order); new
+            # files append after them in sorted order.  A plain re-sorted
+            # glob would interleave new files and shift every old index.
+            stored = [Path(p) for p in update_state["clip_paths"]]
+            listing = sorted(Path(wav_dir).glob("*.wav"))
+            by_resolved = {p.resolve(): p for p in listing}
+            missing = [str(p) for p in stored if p.resolve() not in by_resolved]
+            if missing:
+                raise ValueError(
+                    f"update_from: {len(missing)} clip(s) from the prior run "
+                    f"are no longer under {wav_dir} (e.g. {missing[0]}); "
+                    "removing clips invalidates the stored distances — run a "
+                    "full discovery instead"
+                )
+            old_resolved = {p.resolve() for p in stored}
+            new_paths = [p for p in listing if p.resolve() not in old_resolved]
+            ordered_paths = stored + new_paths
+            log.info(
+                f"update: {len(stored)} prior clips, {len(new_paths)} new"
+            )
+        stream = StreamingCorpus(wav_dir, paths=ordered_paths)
         # PCM16 sources ship to the device as int16 (half the upload
         # bandwidth — the dominant cost for long recordings on a remote
         # backend); decode + per-clip normalization happen on device with
@@ -344,6 +444,25 @@ def discover(
         raise ValueError(
             f"only {len(segments)} segments found; loosen segmentation config"
         )
+    if update_state is not None:
+        # Segmentation is per-clip and deterministic, so the prior clips'
+        # segments must reproduce the stored table exactly — at the same
+        # indices (they lead the combined list because prior clips lead the
+        # clip order).  A mismatch means a prior file's CONTENT changed.
+        n_old_clips = len(update_state["clip_paths"])
+        old_table = [tuple(s) for s in update_state["segments"]]
+        k_old = len(old_table)
+        got = [
+            (s.clip, s.start_frame, s.end_frame) for s in segments[:k_old]
+        ]
+        if got != old_table or any(
+            s.clip < n_old_clips for s in segments[k_old:]
+        ):
+            raise ValueError(
+                "update_from: the prior clips segment differently than the "
+                "stored table — were their files modified?  Stored distances "
+                "would not match; run a full discovery instead"
+            )
 
     if on_device:
         seg_frames_dev, seg_lengths = extract_segment_features_device(
@@ -373,26 +492,46 @@ def discover(
         ckpt_dir = None
         if cfg.autoencoder.checkpoint and out_dir is not None:
             ckpt_dir = Path(out_dir) / cfg.autoencoder.checkpoint_dir
+        # Update mode restores the PRIOR run's checkpoint regardless of this
+        # run's checkpoint flag: the frozen embedding (params + scaler) is
+        # what keeps the reused distances valid.
+        restore_dir = (
+            update_from / cfg.autoencoder.checkpoint_dir
+            if update_state is not None
+            else ckpt_dir
+        )
         with counters.time_stage("autoencoder_train"):
             # Train on the real (unpadded) frames of all segments.
             flat = np.concatenate(
                 [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
             )
             restored = False
-            if ckpt_dir is not None:
+            if restore_dir is not None:
                 from audio_pattern_discovery_tpu.utils.checkpoint import (
                     has_ae_checkpoint,
                     restore_ae_checkpoint,
                     save_ae_checkpoint,
                 )
 
-                if has_ae_checkpoint(ckpt_dir):
+                if has_ae_checkpoint(restore_dir):
                     model, state, saved_scaler = restore_ae_checkpoint(
-                        ckpt_dir, cfg.autoencoder, seg_frames.shape[-1]
+                        restore_dir, cfg.autoencoder, seg_frames.shape[-1]
                     )
+                    if update_state is not None and saved_scaler is None:
+                        raise ValueError(
+                            "update_from: the prior checkpoint has no saved "
+                            "feature scaler; refitting on the grown corpus "
+                            "would shift every embedding — run a full "
+                            "discovery instead"
+                        )
                     scaler = saved_scaler or FeatureScaler.fit(flat)
                     restored = True
-                    log.info(f"restored AE checkpoint from {ckpt_dir}")
+                    log.info(f"restored AE checkpoint from {restore_dir}")
+                    if (
+                        ckpt_dir is not None
+                        and Path(ckpt_dir).resolve() != Path(restore_dir).resolve()
+                    ):
+                        save_ae_checkpoint(ckpt_dir, state, scaler)
             if not restored:
                 scaler = FeatureScaler.fit(flat)
                 model, state, ae_losses = train_autoencoder(
@@ -421,8 +560,13 @@ def discover(
         D = all_pairs_distances(
             features, seg_lengths, cfg.dtw, block_dir=block_dir,
             devices=dtw_devices,
+            known=None if update_state is None else (k_old, D_old),
         )
     n_pairs = len(segments) * (len(segments) - 1) // 2
+    if update_state is not None:
+        reused = k_old * (k_old - 1) // 2
+        n_pairs -= reused
+        counters.add("dtw_pairs_reused", reused)
     counters.add("dtw_pairs", n_pairs)
     dtw_s = counters.timings_s.get("dtw", 0.0)
     if dtw_s > 0:
@@ -607,6 +751,22 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
         json.dumps(result.manifest(), indent=2)
     )
     np.save(out / "distance_matrix.npy", result.distance_matrix)
+    # Incremental-update state (SS6.4): with distance_matrix.npy this is
+    # everything a later `discover(update_from=...)` needs to validate that
+    # the stored distances still describe the corpus prefix — clip identity
+    # + order, the exact segment table, and a fingerprint of the feature-
+    # affecting config sections.  Tiny (no features; the update re-derives
+    # them deterministically), so it is always written.
+    state = {
+        "version": 1,
+        "clip_paths": [str(Path(c.path).resolve()) for c in result.clips],
+        "sample_rates": [c.sample_rate for c in result.clips],
+        "segments": [
+            [s.clip, s.start_frame, s.end_frame] for s in result.segments
+        ],
+        "feature_fingerprint": _feature_fingerprint(cfg),
+    }
+    (out / "state.json").write_text(json.dumps(state))
     if cfg.output.write_images and result.clusters:
         from audio_pattern_discovery_tpu.io.images import write_cluster_images
 

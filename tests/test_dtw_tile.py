@@ -357,3 +357,32 @@ def test_scatter_strategies_identical(monkeypatch):
         geometry=(TI, SU, SV),
     )
     np.testing.assert_array_equal(D_direct, D_sorted)
+
+
+def test_tiled_scheduler_known_pairs_update():
+    """Incremental update on the tiled path: pure-old tile-pairs are skipped
+    (old sequences group into leading tiles) and the result matches the full
+    run.  The boundary tile mixing old/new recomputes some old x old pairs;
+    identical features make that overwrite a numerical no-op."""
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        all_pairs_distances_tiled,
+    )
+
+    feats, lengths = _mk(40, seed=5)
+    feats_np, lengths_np = np.asarray(feats), np.asarray(lengths)
+    cfg = DTWConfig(band=8, normalize="path_len")
+    D_full = all_pairs_distances_tiled(
+        feats_np, lengths_np, cfg, interpret=True, geometry=(TI, SU, SV),
+    )
+    k_old = 25
+    stats: dict = {}
+    D_up = all_pairs_distances_tiled(
+        feats_np, lengths_np, cfg, interpret=True, geometry=(TI, SU, SV),
+        known=(k_old, D_full[:k_old, :k_old]), stats=stats,
+    )
+    np.testing.assert_allclose(D_up, D_full, rtol=1e-5, atol=1e-5)
+    # 40 seqs pad to 48 = 3 tiles of TI=16; old (25) fills tile 0 and most
+    # of tile 1, so exactly the (0, 0) pure-old tile-pair is skipped.
+    assert stats["tile_programs"] == 5
+    assert stats["pairs"] == 40 * 39 // 2 - k_old * (k_old - 1) // 2

@@ -247,3 +247,41 @@ def test_with_retries_zero_budget_raises_pending():
 
     with pytest.raises(ValueError, match="the original failure"):
         _with_retries(lambda: "never called", 0, ValueError("the original failure"))
+
+
+def test_known_pairs_update_matches_full(rng):
+    """Incremental update (SS6.4): known=(k_old, D_old) computes only pairs
+    touching new sequences and reproduces the full-run matrix exactly."""
+    feats, lengths = _features(rng, K=13, L=48)
+    cfg = DTWConfig(pair_batch=6, max_seq_len=48, use_pallas=False)
+    D_full = all_pairs_distances(feats, lengths, cfg, bucket_step=16)
+    k_old = 8
+    stats: dict = {}
+    D_up = all_pairs_distances(
+        feats, lengths, cfg, bucket_step=16,
+        known=(k_old, D_full[:k_old, :k_old]), stats=stats,
+    )
+    np.testing.assert_allclose(D_up, D_full, rtol=0, atol=1e-6)
+    # Only the new-pair share of the triangle was computed.
+    n_new = 13 * 12 // 2 - k_old * (k_old - 1) // 2
+    assert stats["pairs"] == n_new
+
+
+def test_known_pairs_no_new_sequences(rng):
+    """k_old == K: nothing to compute; D is the prior matrix verbatim."""
+    feats, lengths = _features(rng, K=6, L=32)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=32, use_pallas=False)
+    D_full = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
+    D_up = all_pairs_distances(
+        feats, lengths, cfg, bucket_step=8, known=(6, D_full)
+    )
+    np.testing.assert_array_equal(D_up, D_full)
+
+
+def test_known_pairs_validates_shape(rng):
+    feats, lengths = _features(rng, K=6, L=32)
+    cfg = DTWConfig(use_pallas=False)
+    with pytest.raises(ValueError, match="known"):
+        all_pairs_distances(
+            feats, lengths, cfg, known=(4, np.zeros((3, 3), np.float32))
+        )
