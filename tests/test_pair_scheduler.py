@@ -285,3 +285,26 @@ def test_known_pairs_validates_shape(rng):
         all_pairs_distances(
             feats, lengths, cfg, known=(4, np.zeros((3, 3), np.float32))
         )
+
+
+def test_known_pairs_with_block_checkpoint(rng, tmp_path):
+    """Update + crash-resume compose: an interrupted update job resumes
+    from its persisted blocks (keys cover only the computed new pairs)."""
+    feats, lengths = _features(rng, K=10, L=32)
+    cfg = DTWConfig(pair_batch=5, max_seq_len=32, use_pallas=False)
+    D_full = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
+    known = (6, D_full[:6, :6])
+    D1 = all_pairs_distances(
+        feats, lengths, cfg, bucket_step=8, known=known, block_dir=tmp_path
+    )
+    blocks = {p.name: p.stat().st_mtime for p in tmp_path.glob("*.npz")}
+    assert blocks
+    stats: dict = {}
+    D2 = all_pairs_distances(
+        feats, lengths, cfg, bucket_step=8, known=known, block_dir=tmp_path,
+        stats=stats,
+    )
+    np.testing.assert_array_equal(D1, D2)
+    np.testing.assert_allclose(D1, D_full, rtol=0, atol=1e-6)
+    assert {p.name: p.stat().st_mtime for p in tmp_path.glob("*.npz")} == blocks
+    assert stats["dispatch_s"] == 0.0  # second run came entirely from disk
