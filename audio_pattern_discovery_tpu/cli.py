@@ -58,6 +58,21 @@ def build_parser() -> argparse.ArgumentParser:
         "newly added WAVs are computed (the embedding model is frozen from "
         "the prior run)",
     )
+    p.add_argument(
+        "--query",
+        action="append",
+        default=[],
+        type=Path,
+        metavar="WAV",
+        help="query-by-example instead of discovery: rank the corpus "
+        "segments indexed in --out-dir (a prior run) by DTW distance to "
+        "each segment of this WAV and print JSON matches with their "
+        "clusters; repeatable",
+    )
+    p.add_argument(
+        "--top-k", type=int, default=10,
+        help="matches per query segment for --query (default 10)",
+    )
     p.add_argument("--dump-config", action="store_true", help="print config and exit")
     p.add_argument(
         "--doctor",
@@ -99,6 +114,19 @@ def main(argv: list[str] | None = None) -> int:
         from audio_pattern_discovery_tpu.utils.doctor import run_doctor
 
         print(json.dumps(run_doctor(), indent=2))
+        return 0
+    if args.query:
+        try:
+            cfg.validate()
+        except ValueError as e:
+            build_parser().error(str(e))
+        from audio_pattern_discovery_tpu.query import query_corpus
+
+        report = query_corpus(
+            args.out_dir, args.query, cfg, top_k=args.top_k,
+            logger=get_logger(json_lines=args.json_logs),
+        )
+        print(json.dumps(report, indent=2))
         return 0
     if args.wav_dir is None:
         build_parser().error("wav_dir is required (unless --dump-config)")

@@ -552,6 +552,19 @@ def discover(
         features = seg_frames
     counters.add("feature_dim", features.shape[-1])
 
+    if update_state is not None:
+        # Cheap drift guard before committing to reuse: recompute a few
+        # stored pairs from the fresh features and compare to D_old
+        # (catches environment/backend drift the segment-table check
+        # can't — same guard the query path uses).
+        from audio_pattern_discovery_tpu.query import (
+            spot_check_prior_distances,
+        )
+
+        spot_check_prior_distances(
+            np.asarray(features), seg_lengths, cfg.dtw, D_old, k_old
+        )
+
     # ---- L2: all-pairs wavefront DTW (device, the hot loop) -------------
     with counters.time_stage("dtw"):
         block_dir = None

@@ -1,0 +1,271 @@
+"""Query-by-example over an indexed corpus (builds on the SS6.4 update
+machinery): given WAV(s) containing a sound of interest, rank the corpus
+segments of a prior `discover` run by DTW distance and report their
+clusters.
+
+Design: the prior out_dir's `state.json` + `distance_matrix.npy` identify
+the corpus and its segmentation; the linear stages re-run deterministically
+over corpus + query clips with the embedding model FROZEN from the prior
+checkpoint (exactly the update-mode contract, pipeline.discover), and the
+pair scheduler's `known=` path computes only query x corpus distances.  A
+spot check recomputes a few stored corpus pairs from the fresh features and
+compares against the stored matrix, so silent feature drift (modified
+files, changed environment) fails loudly instead of returning garbage
+rankings.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from audio_pattern_discovery_tpu.config import PipelineConfig
+from audio_pattern_discovery_tpu.io.corpus import StreamingCorpus
+from audio_pattern_discovery_tpu.utils.logging import get_logger
+
+
+def spot_check_prior_distances(
+    features: np.ndarray,
+    lengths: np.ndarray,
+    cfg,
+    D_old: np.ndarray,
+    k_old: int,
+    n_pairs: int = 8,
+    rtol: float = 5e-3,
+    atol: float = 5e-3,
+) -> None:
+    """Recompute a few prior-pair distances from freshly derived features
+    and compare to the stored matrix (scan path, so the check is backend-
+    independent; tolerance covers scan-vs-tile kernel float differences).
+    Raises ValueError on drift."""
+    if k_old < 2:
+        return
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+
+    rng = np.random.default_rng(0)
+    ii = rng.integers(0, k_old, n_pairs).astype(np.int32)
+    jj = rng.integers(0, k_old - 1, n_pairs).astype(np.int32)
+    jj = np.where(jj >= ii, jj + 1, jj)  # i != j
+    got = np.asarray(
+        dtw_batch(
+            jnp.asarray(features[ii]),
+            jnp.asarray(features[jj]),
+            jnp.asarray(lengths[ii]),
+            jnp.asarray(lengths[jj]),
+            metric=cfg.metric,
+            band=cfg.band,
+            auto_widen=cfg.auto_widen_band,
+            normalize=cfg.normalize,
+        )
+    )
+    want = D_old[ii, jj]
+    if not np.allclose(got, want, rtol=rtol, atol=atol):
+        worst = float(np.abs(got - want).max())
+        raise ValueError(
+            f"stored distances drifted from recomputed features (max "
+            f"|delta| = {worst:.3g} over {n_pairs} spot pairs) — were corpus "
+            "files or the environment modified?  Run a full discovery."
+        )
+
+
+def query_corpus(
+    prior_out_dir: str | Path,
+    query_wavs: list[str | Path],
+    config: PipelineConfig | None = None,
+    top_k: int = 10,
+    logger=None,
+) -> dict:
+    """Rank a prior run's corpus segments by DTW distance to each segment
+    of the query WAV(s).  Returns a JSON-serializable report."""
+    from audio_pattern_discovery_tpu.models.autoencoder import encode_frames
+    from audio_pattern_discovery_tpu.ops.segmentation import segment_corpus
+    from audio_pattern_discovery_tpu.ops.spectrogram import (
+        num_frames,
+        spectrogram_corpus,
+    )
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        all_pairs_distances,
+    )
+    from audio_pattern_discovery_tpu.pipeline import (
+        _PreparedSignals,
+        _feature_fingerprint,
+        _load_update_state,
+        extract_segment_features,
+        extract_segment_features_device,
+    )
+
+    cfg = (config or PipelineConfig()).validate()
+    log = logger or get_logger()
+    prior = Path(prior_out_dir)
+    state, D_old = _load_update_state(prior)
+    if state["feature_fingerprint"] != _feature_fingerprint(cfg):
+        raise ValueError(
+            "query: a feature-affecting config section differs from the "
+            "indexed run's — distances would not be comparable"
+        )
+    if cfg.autoencoder.enabled:
+        from audio_pattern_discovery_tpu.utils.checkpoint import (
+            has_ae_checkpoint,
+            restore_ae_checkpoint,
+        )
+
+        if not has_ae_checkpoint(prior / cfg.autoencoder.checkpoint_dir):
+            raise ValueError(
+                "query: the autoencoder is enabled but the indexed run "
+                "saved no checkpoint (rerun it with "
+                "-s autoencoder.checkpoint=true)"
+            )
+
+    stored = [Path(p) for p in state["clip_paths"]]
+    qpaths = [Path(p) for p in query_wavs]
+    for p in qpaths:
+        if not p.exists():
+            raise FileNotFoundError(f"query wav not found: {p}")
+    n_old_clips = len(stored)
+    stream = StreamingCorpus(stored[0].parent, paths=stored + qpaths)
+
+    # Codec selection mirrors pipeline.discover: PCM16 ships as int16 with
+    # bit-identical device decode, so a non-PCM16 query clip flipping the
+    # corpus to the f32 path cannot perturb the corpus features.
+    if cfg.spectrogram.upload_codec == "mulaw8":
+        codec = "mulaw8"
+    elif stream.all_pcm16:
+        codec = "int16"
+    else:
+        codec = "f32"
+    sigs = _PreparedSignals(
+        stream, codec=codec, normalize=cfg.spectrogram.normalize_signal
+    )
+    if codec == "int16" and cfg.spectrogram.normalize_signal:
+        scales = sigs.peaks
+    elif codec == "mulaw8" and not cfg.spectrogram.normalize_signal:
+        scales = sigs.peaks
+    else:
+        scales = None
+
+    f_max_est = max(
+        num_frames(int(n), cfg.spectrogram.win_length, cfg.spectrogram.hop_length)
+        for n in stream.sample_lengths
+    )
+    resident = (
+        4 * len(stream) * f_max_est * cfg.spectrogram.n_bins
+        <= cfg.spectrogram.max_resident_bytes
+    )
+    specs_any, frame_counts, energies = spectrogram_corpus(
+        sigs,
+        cfg.spectrogram,
+        clip_batch=cfg.spectrogram.clip_batch,
+        chunk_frames=cfg.spectrogram.chunk_frames,
+        return_device=resident,
+        scales=scales,
+        sig_lengths=stream.sample_lengths,
+    )
+    segments = segment_corpus(energies, frame_counts, cfg.segmentation)
+
+    # The corpus prefix must reproduce the indexed segmentation exactly
+    # (same contract as update mode).
+    old_table = [tuple(s) for s in state["segments"]]
+    k_old = len(old_table)
+    got = [(s.clip, s.start_frame, s.end_frame) for s in segments[:k_old]]
+    if got != old_table or any(s.clip < n_old_clips for s in segments[k_old:]):
+        raise ValueError(
+            "query: the indexed clips segment differently than the stored "
+            "table — were their files modified?  Re-run the full discovery."
+        )
+    q_segments = segments[k_old:]
+    if not q_segments:
+        raise ValueError(
+            "query: no segments found in the query wav(s); loosen the "
+            "segmentation config or check the recording level"
+        )
+
+    if resident:
+        seg_frames_dev, seg_lengths = extract_segment_features_device(
+            specs_any, segments, cfg.dtw.max_seq_len
+        )
+        seg_frames = np.asarray(seg_frames_dev)
+    else:
+        seg_frames, seg_lengths = extract_segment_features(
+            specs_any, segments, cfg.dtw.max_seq_len
+        )
+        seg_frames_dev = None
+    del specs_any
+
+    if cfg.autoencoder.enabled:
+        import jax.numpy as jnp
+
+        model, ae_state, scaler = restore_ae_checkpoint(
+            prior / cfg.autoencoder.checkpoint_dir,
+            cfg.autoencoder,
+            seg_frames.shape[-1],
+        )
+        if scaler is None:
+            raise ValueError(
+                "query: the indexed checkpoint has no saved feature scaler"
+            )
+        src = seg_frames_dev if seg_frames_dev is not None else jnp.asarray(seg_frames)
+        features = encode_frames(model, ae_state.params, scaler.transform(src))
+    else:
+        features = seg_frames
+
+    feats_np = np.asarray(features)
+    spot_check_prior_distances(feats_np, seg_lengths, cfg.dtw, D_old, k_old)
+
+    D = all_pairs_distances(
+        feats_np, seg_lengths, cfg.dtw, known=(k_old, D_old)
+    )
+    log.info(
+        f"query: {len(q_segments)} query segment(s) against {k_old} corpus "
+        f"segments"
+    )
+
+    # Cluster ids from the indexed manifest (segments the prior run dropped
+    # as noise carry cluster None).
+    seg2cluster: dict[int, int] = {}
+    manifest_path = prior / cfg.output.manifest_name
+    if manifest_path.exists():
+        man = json.loads(manifest_path.read_text())
+        for c in man.get("clusters", []):
+            for m in c["members"]:
+                seg2cluster[int(m["segment"])] = int(c["cluster_id"])
+
+    hop = cfg.spectrogram.hop_length
+    win = cfg.spectrogram.win_length
+    queries = []
+    for qi, seg in enumerate(q_segments):
+        dists = D[k_old + qi, :k_old]
+        order = np.argsort(dists, kind="stable")[: min(top_k, k_old)]
+        matches = []
+        for m in order:
+            ms = [tuple(x) for x in [state["segments"][int(m)]]][0]
+            matches.append(
+                {
+                    "segment": int(m),
+                    "distance": round(float(dists[m]), 6),
+                    "cluster": seg2cluster.get(int(m)),
+                    "file": state["clip_paths"][ms[0]],
+                    "start_sample": ms[1] * hop,
+                    "end_sample": (ms[2] - 1) * hop + win,
+                }
+            )
+        clusters = [m["cluster"] for m in matches if m["cluster"] is not None]
+        queries.append(
+            {
+                "file": str(stream.paths[seg.clip]),
+                "start_frame": seg.start_frame,
+                "end_frame": seg.end_frame,
+                "best_cluster": (
+                    max(set(clusters), key=clusters.count) if clusters else None
+                ),
+                "matches": matches,
+            }
+        )
+    return {
+        "n_corpus_segments": k_old,
+        "n_query_segments": len(q_segments),
+        "queries": queries,
+    }
