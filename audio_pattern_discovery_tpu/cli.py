@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(run_doctor(), indent=2))
         return 0
     if args.query:
+        if args.update or args.wav_dir is not None:
+            # Silently dropping either would run against a stale index or
+            # ignore an intended discovery; make the user pick one action.
+            build_parser().error(
+                "--query cannot be combined with wav_dir or --update; "
+                "run the update first, then query the refreshed index"
+            )
         try:
             cfg.validate()
         except ValueError as e:

@@ -307,6 +307,14 @@ def make_tile_pair_class_fn(
     at most 2x2 classes so each class is one compiled program shape.  The
     bounds are correctness contracts of dtw_tile_pairs; bench.py uses this
     same function so the headline measures the production program shapes.
+
+    The widening bound is taken over BOTH orientations
+    (max(tmax[j]-tmin[i], tmax[i]-tmin[j])): under the all-pairs global
+    length sort the second term is <= 0 for j > i, but the incremental
+    update's grouped permutation (old tiles first, then new) is NOT
+    globally monotone — a new tile of short sequences can pair as J with
+    a longer old I, and a one-sided bound would under-provision the scan
+    depth and silently truncate the banded min-plus propagation.
     """
     tmin = np.array([lens_sorted[t * ti : (t + 1) * ti].min() for t in range(nT)])
     tmax = np.array([lens_sorted[t * ti : (t + 1) * ti].max() for t in range(nT)])
@@ -325,7 +333,11 @@ def make_tile_pair_class_fn(
         else:
             wv_req = int(band)
             if auto_widen:
-                wv_req = max(wv_req, int(tmax[j]) - int(tmin[i]))
+                wv_req = max(
+                    wv_req,
+                    int(tmax[j]) - int(tmin[i]),
+                    int(tmax[i]) - int(tmin[j]),
+                )
             need = max(1, (2 * min(wv_req, Lp) + 1 - 1).bit_length())
             scan_cls = small_scan if need <= small_scan else full_scan
         return rows_cls, scan_cls
@@ -465,8 +477,16 @@ def all_pairs_distances_tiled(
     # ti contiguous row writes — touching D exactly once, sequentially.
     # Update jobs force direct scatter: skipped tile-pairs would leave row
     # strips permanently incomplete (strip_left counts all nT pieces), and
-    # the strip path's pathology — every block thrashing a > 2 GB matrix —
-    # doesn't apply when only the new-pair fraction of blocks is computed.
+    # strips would also need their old-column region prefilled from D_old
+    # per strip — a K_old x K_old fancy gather, the exact host tail the
+    # strip design exists to kill.  Accepted tradeoff: a LARGE-fraction
+    # update of a > 2 GB matrix re-enters the measured direct-scatter
+    # regime (K=40k full job: direct 457-587 s vs strips 418-444 s, i.e.
+    # direct costs ~10-30% more wall, partially hidden under device wait) —
+    # bounded, not pathological, and updates that big are near full-recompute
+    # cost anyway.  Generalizing strip accounting to per-strip piece counts
+    # + D_old prefill is the upgrade path if large-fraction huge-K updates
+    # become a real workload.
     direct = known is not None or K * K * 4 <= _DIRECT_SCATTER_BYTES
     D = np.zeros((K, K), dtype=np.float32)
     if known is not None:

@@ -198,22 +198,177 @@ def _medoid(D: np.ndarray, members: list[int]) -> int:
 
 
 def _feature_fingerprint(cfg: PipelineConfig) -> str:
-    """Hash of the config sections that determine segment features and DTW
-    distances.  Incremental update reuses a prior run's distance matrix,
-    which is only sound while these sections are unchanged; cluster/output/
-    parallel knobs may differ freely (they act downstream of D)."""
+    """Hash of the config knobs that determine segment features and DTW
+    distance VALUES.  Incremental update/query reuse a prior run's distance
+    matrix, which is only sound while these are unchanged.  Excluded on
+    purpose: cluster/output/parallel sections (downstream of D), pure
+    scheduling knobs (dtw.pair_batch, dtw.length_bucketing; spectrogram
+    clip_batch/chunk_frames/max_resident_bytes — tile-vs-single-shot bit
+    identity is a tested invariant), AE checkpointing flags, and the whole
+    AE section when the AE is disabled — so tuning dispatch sizes between
+    runs does not force a full K^2 recompute."""
     import dataclasses
     import hashlib
 
+    sp = dataclasses.asdict(cfg.spectrogram)
+    for k in ("clip_batch", "chunk_frames", "max_resident_bytes"):
+        sp.pop(k)
+    dt = dataclasses.asdict(cfg.dtw)
+    for k in ("pair_batch", "length_bucketing"):
+        dt.pop(k)
+    ae = dataclasses.asdict(cfg.autoencoder)
+    if ae["enabled"]:
+        for k in ("checkpoint", "checkpoint_dir"):
+            ae.pop(k)
+    else:
+        ae = {"enabled": False}
     payload = repr(
-        (
-            dataclasses.asdict(cfg.spectrogram),
-            dataclasses.asdict(cfg.segmentation),
-            dataclasses.asdict(cfg.autoencoder),
-            dataclasses.asdict(cfg.dtw),
-        )
+        (sp, dataclasses.asdict(cfg.segmentation), ae, dt)
     )
     return hashlib.sha1(payload.encode()).hexdigest()
+
+
+def _prepare_corpus(
+    cfg: PipelineConfig,
+    stream: StreamingCorpus,
+    counters: StageCounters,
+    log,
+):
+    """Codec selection -> streaming spectrogram tiles -> energy
+    segmentation -> per-segment frame extraction.
+
+    Shared by discover() and query.query_corpus: index reuse (SS6.4) rests
+    on fresh features reproducing the stored distances byte-for-byte, so
+    this derivation must have exactly ONE implementation.
+
+    Returns (clips, frame_counts, segments, seg_frames, seg_frames_dev,
+    seg_lengths); seg_frames_dev is the device-resident copy and is None
+    unless the AE will consume it (cfg.autoencoder.enabled).
+    """
+    # PCM16 sources ship to the device as int16 (half the upload
+    # bandwidth — the dominant cost for long recordings on a remote
+    # backend); decode + per-clip normalization happen on device with
+    # bit-identical results (x/32768 is a power-of-two scale, and the
+    # /peak division matches the host's).  Plain 16-bit PCM is exactly
+    # int16-representable by construction (read_wav = raw/32768), so
+    # the header check suffices; anything else keeps the f32 path.
+    if cfg.spectrogram.upload_codec == "mulaw8":
+        codec = "mulaw8"
+    elif stream.all_pcm16:
+        codec = "int16"
+    else:
+        codec = "f32"
+    sigs = _PreparedSignals(
+        stream, codec=codec, normalize=cfg.spectrogram.normalize_signal
+    )
+    # scales semantics follow the codec (ops/spectrogram tile decode):
+    # int16 DIVIDES by peak (device-side normalization); mulaw8 signals
+    # are already peak-normalized, so scales MULTIPLY to restore
+    # amplitude only when the pipeline is NOT normalizing.
+    # sigs.peaks is filled lazily as clips load; spectrogram_corpus
+    # always pulls a tile group before slicing its scales, so passing
+    # the (in-place mutated) array directly is safe.
+    if codec == "int16" and cfg.spectrogram.normalize_signal:
+        scales = sigs.peaks
+    elif codec == "mulaw8" and not cfg.spectrogram.normalize_signal:
+        scales = sigs.peaks
+    else:
+        scales = None
+    rates = np.unique(stream.sample_rates)
+    if len(rates) > 1:
+        log.warning(
+            f"corpus mixes sample rates {rates.tolist()}: frame times and "
+            "DTW distances are not comparable across rates — resample to "
+            f"one rate (config expects {cfg.spectrogram.sample_rate} Hz)"
+        )
+    elif int(rates[0]) != cfg.spectrogram.sample_rate:
+        log.warning(
+            f"corpus sample rate {int(rates[0])} != configured "
+            f"spectrogram.sample_rate {cfg.spectrogram.sample_rate}; "
+            "window/hop lengths are in samples, so frame durations will "
+            "differ from the configured intent"
+        )
+    log.info(
+        f"probed headers of {len(stream)} clips"
+        + ({"int16": " (PCM16: int16 device upload)",
+            "mulaw8": " (mu-law int8 device upload)"}.get(codec, ""))
+    )
+
+    # The full spectrogram corpus stays device-resident when it fits HBM;
+    # only the (tiny) energy matrix crosses to host for segmentation, and
+    # later only the segment cuts (SS4.1 host<->device boundary note).
+    # Corpora too large for a resident [B, F_max, bins] tensor (hours-long
+    # recordings, BASELINE config 5) fall back to host assembly, which is
+    # bounded by host RAM, not HBM.
+    from audio_pattern_discovery_tpu.ops.spectrogram import num_frames
+
+    f_max_est = max(
+        num_frames(int(n), cfg.spectrogram.win_length, cfg.spectrogram.hop_length)
+        for n in stream.sample_lengths
+    )
+    resident_bytes = 4 * len(stream) * f_max_est * cfg.spectrogram.n_bins
+    on_device = resident_bytes <= cfg.spectrogram.max_resident_bytes
+    with counters.time_stage("spectrogram"):
+        specs_any, frame_counts, energies = spectrogram_corpus(
+            sigs,
+            cfg.spectrogram,
+            clip_batch=cfg.spectrogram.clip_batch,
+            chunk_frames=cfg.spectrogram.chunk_frames,
+            return_device=on_device,
+            scales=scales,
+            sig_lengths=stream.sample_lengths,
+        )
+    # All clips have been pulled through the stream by now; the full list
+    # backs snippet extraction and the result object.
+    clips = stream.materialize()
+
+    with counters.time_stage("segmentation"):
+        segments = segment_corpus(energies, frame_counts, cfg.segmentation)
+
+    if on_device:
+        seg_frames_dev, seg_lengths = extract_segment_features_device(
+            specs_any, segments, cfg.dtw.max_seq_len
+        )
+        # One download of the segment cuts (AE scaler/train + cluster
+        # images); the device copy feeds encode without a re-upload.
+        seg_frames = np.asarray(seg_frames_dev)
+    else:
+        seg_frames, seg_lengths = extract_segment_features(
+            specs_any, segments, cfg.dtw.max_seq_len
+        )
+        # Only the AE encode consumes the device copy; don't upload it
+        # (or keep it resident through DTW) in raw-feature mode.
+        seg_frames_dev = (
+            jnp.asarray(seg_frames) if cfg.autoencoder.enabled else None
+        )
+    if not cfg.autoencoder.enabled:
+        seg_frames_dev = None
+    # The resident corpus is not needed past the segment gather; free the
+    # HBM before the AE/DTW stages (the real HBM consumers).
+    del specs_any
+    return clips, frame_counts, segments, seg_frames, seg_frames_dev, seg_lengths
+
+
+def _validate_prior_segments(
+    update_state: dict, segments: list[Segment]
+) -> int:
+    """The corpus prefix must reproduce the stored segment table exactly —
+    at the same indices (prior clips lead the clip order, and segmentation
+    is per-clip and deterministic).  A mismatch means a prior file's
+    CONTENT changed.  Returns k_old."""
+    n_old_clips = len(update_state["clip_paths"])
+    old_table = [tuple(s) for s in update_state["segments"]]
+    k_old = len(old_table)
+    got = [(s.clip, s.start_frame, s.end_frame) for s in segments[:k_old]]
+    if got != old_table or any(
+        s.clip < n_old_clips for s in segments[k_old:]
+    ):
+        raise ValueError(
+            "the prior clips segment differently than the stored table — "
+            "were their files modified?  Stored distances would not match; "
+            "run a full discovery instead"
+        )
+    return k_old
 
 
 def _load_update_state(update_from: Path) -> tuple[dict, np.ndarray]:
@@ -339,8 +494,8 @@ def discover(
             # glob would interleave new files and shift every old index.
             stored = [Path(p) for p in update_state["clip_paths"]]
             listing = sorted(Path(wav_dir).glob("*.wav"))
-            by_resolved = {p.resolve(): p for p in listing}
-            missing = [str(p) for p in stored if p.resolve() not in by_resolved]
+            listing_resolved = {p.resolve() for p in listing}
+            missing = [str(p) for p in stored if p.resolve() not in listing_resolved]
             if missing:
                 raise ValueError(
                     f"update_from: {len(missing)} clip(s) from the prior run "
@@ -355,89 +510,15 @@ def discover(
                 f"update: {len(stored)} prior clips, {len(new_paths)} new"
             )
         stream = StreamingCorpus(wav_dir, paths=ordered_paths)
-        # PCM16 sources ship to the device as int16 (half the upload
-        # bandwidth — the dominant cost for long recordings on a remote
-        # backend); decode + per-clip normalization happen on device with
-        # bit-identical results (x/32768 is a power-of-two scale, and the
-        # /peak division matches the host's).  Plain 16-bit PCM is exactly
-        # int16-representable by construction (read_wav = raw/32768), so
-        # the header check suffices; anything else keeps the f32 path.
-        if cfg.spectrogram.upload_codec == "mulaw8":
-            codec = "mulaw8"
-        elif stream.all_pcm16:
-            codec = "int16"
-        else:
-            codec = "f32"
-        sigs = _PreparedSignals(
-            stream, codec=codec, normalize=cfg.spectrogram.normalize_signal
-        )
-        # scales semantics follow the codec (ops/spectrogram tile decode):
-        # int16 DIVIDES by peak (device-side normalization); mulaw8 signals
-        # are already peak-normalized, so scales MULTIPLY to restore
-        # amplitude only when the pipeline is NOT normalizing.
-        # sigs.peaks is filled lazily as clips load; spectrogram_corpus
-        # always pulls a tile group before slicing its scales, so passing
-        # the (in-place mutated) array directly is safe.
-        if codec == "int16" and cfg.spectrogram.normalize_signal:
-            scales = sigs.peaks
-        elif codec == "mulaw8" and not cfg.spectrogram.normalize_signal:
-            scales = sigs.peaks
-        else:
-            scales = None
     counters.add("clips", len(stream))
-    rates = np.unique(stream.sample_rates)
-    if len(rates) > 1:
-        log.warning(
-            f"corpus mixes sample rates {rates.tolist()}: frame times and "
-            "DTW distances are not comparable across rates — resample to "
-            f"one rate (config expects {cfg.spectrogram.sample_rate} Hz)"
-        )
-    elif int(rates[0]) != cfg.spectrogram.sample_rate:
-        log.warning(
-            f"corpus sample rate {int(rates[0])} != configured "
-            f"spectrogram.sample_rate {cfg.spectrogram.sample_rate}; "
-            "window/hop lengths are in samples, so frame durations will "
-            "differ from the configured intent"
-        )
-    log.info(
-        f"probed headers of {len(stream)} clips"
-        + ({"int16": " (PCM16: int16 device upload)",
-            "mulaw8": " (mu-law int8 device upload)"}.get(codec, ""))
-    )
 
-    # ---- L1: spectrograms (device, fixed-shape streaming tiles) ---------
-    # The full spectrogram corpus stays device-resident when it fits HBM;
-    # only the (tiny) energy matrix crosses to host for segmentation, and
-    # later only the segment cuts (SS4.1 host<->device boundary note).
-    # Corpora too large for a resident [B, F_max, bins] tensor (hours-long
-    # recordings, BASELINE config 5) fall back to host assembly, which is
-    # bounded by host RAM, not HBM.
-    from audio_pattern_discovery_tpu.ops.spectrogram import num_frames
-
-    f_max_est = max(
-        num_frames(int(n), cfg.spectrogram.win_length, cfg.spectrogram.hop_length)
-        for n in stream.sample_lengths
+    # ---- L1+L4: spectrograms -> segmentation -> segment frames ----------
+    # (one shared implementation with query.query_corpus — index reuse
+    # depends on this derivation being identical; see _prepare_corpus)
+    clips, frame_counts, segments, seg_frames, seg_frames_dev, seg_lengths = (
+        _prepare_corpus(cfg, stream, counters, log)
     )
-    resident_bytes = 4 * len(stream) * f_max_est * cfg.spectrogram.n_bins
-    on_device = resident_bytes <= cfg.spectrogram.max_resident_bytes
-    with counters.time_stage("spectrogram"):
-        specs_any, frame_counts, energies = spectrogram_corpus(
-            sigs,
-            cfg.spectrogram,
-            clip_batch=cfg.spectrogram.clip_batch,
-            chunk_frames=cfg.spectrogram.chunk_frames,
-            return_device=on_device,
-            scales=scales,
-            sig_lengths=stream.sample_lengths,
-        )
-    # All clips have been pulled through the stream by now; the full list
-    # backs snippet extraction and the result object.
-    clips = stream.materialize()
     counters.add("frames", float(frame_counts.sum()))
-
-    # ---- L4: segmentation ------------------------------------------------
-    with counters.time_stage("segmentation"):
-        segments = segment_corpus(energies, frame_counts, cfg.segmentation)
     counters.add("segments", len(segments))
     log.info(f"segmented into {len(segments)} candidates")
     if len(segments) < 2:
@@ -445,46 +526,10 @@ def discover(
             f"only {len(segments)} segments found; loosen segmentation config"
         )
     if update_state is not None:
-        # Segmentation is per-clip and deterministic, so the prior clips'
-        # segments must reproduce the stored table exactly — at the same
-        # indices (they lead the combined list because prior clips lead the
-        # clip order).  A mismatch means a prior file's CONTENT changed.
-        n_old_clips = len(update_state["clip_paths"])
-        old_table = [tuple(s) for s in update_state["segments"]]
-        k_old = len(old_table)
-        got = [
-            (s.clip, s.start_frame, s.end_frame) for s in segments[:k_old]
-        ]
-        if got != old_table or any(
-            s.clip < n_old_clips for s in segments[k_old:]
-        ):
-            raise ValueError(
-                "update_from: the prior clips segment differently than the "
-                "stored table — were their files modified?  Stored distances "
-                "would not match; run a full discovery instead"
-            )
-
-    if on_device:
-        seg_frames_dev, seg_lengths = extract_segment_features_device(
-            specs_any, segments, cfg.dtw.max_seq_len
-        )
-        # One download of the segment cuts (AE scaler/train + cluster
-        # images); the device copy feeds encode without a re-upload.
-        seg_frames = np.asarray(seg_frames_dev)
-    else:
-        seg_frames, seg_lengths = extract_segment_features(
-            specs_any, segments, cfg.dtw.max_seq_len
-        )
-        # Only the AE encode consumes the device copy; don't upload it
-        # (or keep it resident through DTW) in raw-feature mode.
-        seg_frames_dev = (
-            jnp.asarray(seg_frames) if cfg.autoencoder.enabled else None
-        )
-    if not cfg.autoencoder.enabled:
-        seg_frames_dev = None
-    # The resident corpus is not needed past the segment gather; free the
-    # HBM before the AE/DTW stages (the real HBM consumers).
-    del specs_any
+        try:
+            k_old = _validate_prior_segments(update_state, segments)
+        except ValueError as e:
+            raise ValueError(f"update_from: {e}") from None
 
     # ---- L3: autoencoder embed (device) ---------------------------------
     ae_losses: list[float] = []
@@ -501,10 +546,16 @@ def discover(
             else ckpt_dir
         )
         with counters.time_stage("autoencoder_train"):
-            # Train on the real (unpadded) frames of all segments.
-            flat = np.concatenate(
-                [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
-            )
+            # Train on the real (unpadded) frames of all segments.  Built
+            # lazily: a restored checkpoint with its saved scaler (the
+            # normal restore and ALWAYS the update path) never consumes it,
+            # and at contract scale the concatenation is hundreds of MB of
+            # dead host work on the one-core machine.
+            def _flat() -> np.ndarray:
+                return np.concatenate(
+                    [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
+                )
+
             restored = False
             if restore_dir is not None:
                 from audio_pattern_discovery_tpu.utils.checkpoint import (
@@ -524,7 +575,7 @@ def discover(
                             "would shift every embedding — run a full "
                             "discovery instead"
                         )
-                    scaler = saved_scaler or FeatureScaler.fit(flat)
+                    scaler = saved_scaler or FeatureScaler.fit(_flat())
                     restored = True
                     log.info(f"restored AE checkpoint from {restore_dir}")
                     if (
@@ -533,6 +584,7 @@ def discover(
                     ):
                         save_ae_checkpoint(ckpt_dir, state, scaler)
             if not restored:
+                flat = _flat()
                 scaler = FeatureScaler.fit(flat)
                 model, state, ae_losses = train_autoencoder(
                     scaler.transform(flat).astype(np.float32),

@@ -82,21 +82,16 @@ def query_corpus(
     """Rank a prior run's corpus segments by DTW distance to each segment
     of the query WAV(s).  Returns a JSON-serializable report."""
     from audio_pattern_discovery_tpu.models.autoencoder import encode_frames
-    from audio_pattern_discovery_tpu.ops.segmentation import segment_corpus
-    from audio_pattern_discovery_tpu.ops.spectrogram import (
-        num_frames,
-        spectrogram_corpus,
-    )
     from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
         all_pairs_distances,
     )
     from audio_pattern_discovery_tpu.pipeline import (
-        _PreparedSignals,
         _feature_fingerprint,
         _load_update_state,
-        extract_segment_features,
-        extract_segment_features_device,
+        _prepare_corpus,
+        _validate_prior_segments,
     )
+    from audio_pattern_discovery_tpu.utils.logging import StageCounters
 
     cfg = (config or PipelineConfig()).validate()
     log = logger or get_logger()
@@ -125,75 +120,40 @@ def query_corpus(
     for p in qpaths:
         if not p.exists():
             raise FileNotFoundError(f"query wav not found: {p}")
-    n_old_clips = len(stored)
     stream = StreamingCorpus(stored[0].parent, paths=stored + qpaths)
 
-    # Codec selection mirrors pipeline.discover: PCM16 ships as int16 with
-    # bit-identical device decode, so a non-PCM16 query clip flipping the
-    # corpus to the f32 path cannot perturb the corpus features.
-    if cfg.spectrogram.upload_codec == "mulaw8":
-        codec = "mulaw8"
-    elif stream.all_pcm16:
-        codec = "int16"
-    else:
-        codec = "f32"
-    sigs = _PreparedSignals(
-        stream, codec=codec, normalize=cfg.spectrogram.normalize_signal
-    )
-    if codec == "int16" and cfg.spectrogram.normalize_signal:
-        scales = sigs.peaks
-    elif codec == "mulaw8" and not cfg.spectrogram.normalize_signal:
-        scales = sigs.peaks
-    else:
-        scales = None
-
-    f_max_est = max(
-        num_frames(int(n), cfg.spectrogram.win_length, cfg.spectrogram.hop_length)
-        for n in stream.sample_lengths
-    )
-    resident = (
-        4 * len(stream) * f_max_est * cfg.spectrogram.n_bins
-        <= cfg.spectrogram.max_resident_bytes
-    )
-    specs_any, frame_counts, energies = spectrogram_corpus(
-        sigs,
-        cfg.spectrogram,
-        clip_batch=cfg.spectrogram.clip_batch,
-        chunk_frames=cfg.spectrogram.chunk_frames,
-        return_device=resident,
-        scales=scales,
-        sig_lengths=stream.sample_lengths,
-    )
-    segments = segment_corpus(energies, frame_counts, cfg.segmentation)
-
-    # The corpus prefix must reproduce the indexed segmentation exactly
-    # (same contract as update mode).
-    old_table = [tuple(s) for s in state["segments"]]
-    k_old = len(old_table)
-    got = [(s.clip, s.start_frame, s.end_frame) for s in segments[:k_old]]
-    if got != old_table or any(s.clip < n_old_clips for s in segments[k_old:]):
+    # win/hop are in SAMPLES: a query recorded at a different rate than the
+    # indexed corpus lands its frames on a different time/frequency scale
+    # and every distance is meaningless — reject, don't warn.
+    corpus_rates = set(int(r) for r in state["sample_rates"])
+    bad = [
+        f"{p} ({int(r)} Hz)"
+        for p, r in zip(qpaths, stream.sample_rates[len(stored):])
+        if int(r) not in corpus_rates
+    ]
+    if bad:
         raise ValueError(
-            "query: the indexed clips segment differently than the stored "
-            "table — were their files modified?  Re-run the full discovery."
+            f"query wav sample rate differs from the indexed corpus "
+            f"({sorted(corpus_rates)} Hz): {', '.join(bad)}; resample the "
+            "query first"
         )
+
+    # One shared linear-stage implementation with discover() — index reuse
+    # depends on fresh features reproducing the stored derivation exactly.
+    segments_counters = StageCounters()
+    _, _, segments, seg_frames, seg_frames_dev, seg_lengths = _prepare_corpus(
+        cfg, stream, segments_counters, log
+    )
+    try:
+        k_old = _validate_prior_segments(state, segments)
+    except ValueError as e:
+        raise ValueError(f"query: {e}") from None
     q_segments = segments[k_old:]
     if not q_segments:
         raise ValueError(
             "query: no segments found in the query wav(s); loosen the "
             "segmentation config or check the recording level"
         )
-
-    if resident:
-        seg_frames_dev, seg_lengths = extract_segment_features_device(
-            specs_any, segments, cfg.dtw.max_seq_len
-        )
-        seg_frames = np.asarray(seg_frames_dev)
-    else:
-        seg_frames, seg_lengths = extract_segment_features(
-            specs_any, segments, cfg.dtw.max_seq_len
-        )
-        seg_frames_dev = None
-    del specs_any
 
     if cfg.autoencoder.enabled:
         import jax.numpy as jnp
@@ -241,7 +201,7 @@ def query_corpus(
         order = np.argsort(dists, kind="stable")[: min(top_k, k_old)]
         matches = []
         for m in order:
-            ms = [tuple(x) for x in [state["segments"][int(m)]]][0]
+            ms = tuple(state["segments"][int(m)])
             matches.append(
                 {
                     "segment": int(m),

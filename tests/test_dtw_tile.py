@@ -386,3 +386,36 @@ def test_tiled_scheduler_known_pairs_update():
     # of tile 1, so exactly the (0, 0) pure-old tile-pair is skipped.
     assert stats["tile_programs"] == 5
     assert stats["pairs"] == 40 * 39 // 2 - k_old * (k_old - 1) // 2
+
+
+def test_tile_pair_class_non_monotone_lengths():
+    """Update-mode grouped permutations are not globally length-sorted: a
+    NEW tile of short sequences can pair as J with a longer OLD tile I.
+    The widening bound must cover both orientations or the scan depth
+    under-provisions and the banded min-plus propagation silently
+    truncates (review finding, round-3 continuation)."""
+    from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+        make_tile_pair_class_fn,
+    )
+
+    # tile 0 = old/long (100-110 frames), tile 1 = new/short (18-20).
+    lens = np.array([100] * 8 + [110] * 8 + [20] * 8 + [18] * 8, np.int32)
+    fn = make_tile_pair_class_fn(
+        lens, nT=2, ti=16, Lp=128, band=16, auto_widen=True
+    )
+    rows01, scan01 = fn(0, 1)
+    full_scan = (128 - 1).bit_length()
+    # pairs span |110 - 18| = 92 >> the 2^6 small-scan window
+    assert scan01 == full_scan
+    assert rows01 >= 110  # A-tile (old) rows, not the shorter side's
+    # the sorted regime keeps its tight small class
+    lens_sorted = np.sort(lens)
+    fn2 = make_tile_pair_class_fn(
+        lens_sorted, nT=2, ti=16, Lp=128, band=16, auto_widen=True
+    )
+    assert fn2(0, 1)[1] == full_scan  # 18..110 really does span wide
+    lens_tight = np.array([30] * 16 + [40] * 16, np.int32)
+    fn3 = make_tile_pair_class_fn(
+        lens_tight, nT=2, ti=16, Lp=128, band=16, auto_widen=True
+    )
+    assert fn3(0, 1)[1] == min(6, full_scan)

@@ -137,3 +137,35 @@ def test_cli_query_flag(tmp_path, capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["queries"][0]["matches"]
     assert len(report["queries"][0]["matches"]) <= 3
+
+
+def test_query_rejects_mismatched_sample_rate(tmp_path):
+    """win/hop are in samples: a query at another rate is meaningless and
+    must be rejected, not silently ranked."""
+    from audio_pattern_discovery_tpu.io.wavio import write_wav
+
+    _, _, cfg, out, _ = _setup(tmp_path, ae=False)
+    rng = np.random.default_rng(0)
+    bad = tmp_path / "q44k.wav"
+    write_wav(bad, rng.uniform(-0.5, 0.5, 44_100).astype(np.float32), 44_100)
+    with pytest.raises(ValueError, match="sample rate"):
+        query_corpus(out, [bad], cfg)
+
+
+def test_cli_query_conflicts_rejected(tmp_path, capsys):
+    from audio_pattern_discovery_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["somedir", "--query", "q.wav", "-o", str(tmp_path)])
+    assert "--query cannot be combined" in capsys.readouterr().err
+
+
+def test_scheduling_knobs_not_in_fingerprint(tmp_path):
+    """Pure dispatch-size knobs act downstream of distance values; tuning
+    them between runs must not force a full recompute."""
+    _, query_wav, cfg, out, _ = _setup(tmp_path, ae=False)
+    tuned = _cfg(ae=False)
+    tuned.dtw.pair_batch = 64          # scheduling only
+    tuned.spectrogram.chunk_frames = 1024  # tile size, bit-identical output
+    report = query_corpus(out, [query_wav], tuned, top_k=3)
+    assert report["queries"][0]["matches"]
