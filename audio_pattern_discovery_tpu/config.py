@@ -64,6 +64,20 @@ class SpectrogramConfig:
     # resident (skips the full download + segment re-upload); corpora above
     # this assemble on host instead (bounded by host RAM, not HBM).
     max_resident_bytes: int = 4 << 30
+    # Feature head after the power spectrum (SURVEY.md SS3 row 2 — the
+    # "additional modules" insurance note): "bins" keeps the (log-)power
+    # spectrogram; "mel" projects onto a triangular HTK-scale mel
+    # filterbank — one extra [bins, n_mels] MXU matmul fused into the
+    # spectrogram tile; "mfcc" adds an orthonormal DCT-II over the log-mel
+    # bands (a second tiny matmul).  The segmentation energy gate always
+    # operates on the RAW power spectrum, so the segment table is
+    # feature-invariant (tested).  For "mfcc" the mel log-compression is
+    # definitional and applied regardless of log_scale.
+    feature: str = "bins"           # "bins" | "mel" | "mfcc"
+    n_mels: int = 64
+    n_mfcc: int = 20
+    fmin: float = 0.0               # mel filterbank low edge (Hz)
+    fmax: float | None = None       # high edge; None = capped-bin Nyquist
 
     @property
     def fft_size(self) -> int:
@@ -73,6 +87,15 @@ class SpectrogramConfig:
     def n_bins(self) -> int:
         full = self.fft_size // 2 + 1
         return min(full, self.max_bins) if self.max_bins else full
+
+    @property
+    def feature_dim(self) -> int:
+        """Last-axis size of the feature arrays this config produces."""
+        if self.feature == "mfcc":
+            return self.n_mfcc
+        if self.feature == "mel":
+            return self.n_mels
+        return self.n_bins
 
 
 @dataclass
@@ -233,6 +256,23 @@ class PipelineConfig:
         )
         check(sp.clip_batch > 0, "spectrogram.clip_batch must be > 0")
         check(sp.chunk_frames > 0, "spectrogram.chunk_frames must be > 0")
+        check(
+            sp.feature in ("bins", "mel", "mfcc"),
+            f"spectrogram.feature={sp.feature!r}",
+        )
+        if sp.feature in ("mel", "mfcc"):
+            check(sp.n_mels >= 2, f"spectrogram.n_mels={sp.n_mels} must be >= 2")
+            check(sp.fmin >= 0.0, f"spectrogram.fmin={sp.fmin} must be >= 0")
+            fmax = sp.fmax if sp.fmax is not None else sp.sample_rate / 2
+            check(
+                sp.fmin < fmax,
+                f"spectrogram.fmin={sp.fmin} must be < fmax={fmax}",
+            )
+        if sp.feature == "mfcc":
+            check(
+                1 <= sp.n_mfcc <= sp.n_mels,
+                f"spectrogram.n_mfcc={sp.n_mfcc} must be in [1, n_mels={sp.n_mels}]",
+            )
         check(dt.band is None or dt.band >= 0, f"dtw.band={dt.band} must be >= 0 or null")
         check(cl.auto_cut in ("gap", "quantile"), f"cluster.auto_cut={cl.auto_cut!r}")
         check(

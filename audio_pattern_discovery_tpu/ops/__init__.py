@@ -2,6 +2,8 @@ from audio_pattern_discovery_tpu.ops.spectrogram import (  # noqa: F401
     batched_spectrogram,
     spectrogram_from_config,
     frame_energy,
+    mel_filterbank,
+    dct_ortho,
 )
 from audio_pattern_discovery_tpu.ops.dtw import (  # noqa: F401
     dtw_batch,

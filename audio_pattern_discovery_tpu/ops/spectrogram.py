@@ -39,6 +39,70 @@ def num_frames(n_samples: int, win_length: int, hop_length: int) -> int:
     return 1 + (n_samples - win_length) // hop_length
 
 
+# --------------------------------------------------------------------------
+# Feature head: mel filterbank + DCT (SpectrogramConfig.feature).
+# Both are plain matmuls against small constant matrices, so on TPU they
+# fuse into the spectrogram tile as extra MXU contractions — no new
+# host<->device boundary and no new dispatch.
+# --------------------------------------------------------------------------
+
+
+def hz_to_mel(f):
+    """HTK mel scale: m = 2595 * log10(1 + f / 700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_bins: int,
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """[n_bins, n_mels] triangular HTK-mel filterbank (peak height 1).
+
+    `n_bins` is the number of AVAILABLE bins (after any max_bins cap), so
+    the band edges clamp to the capped spectrum's top frequency; bin k maps
+    to k * sample_rate / n_fft Hz.  Raises if any filter would have empty
+    support (too many mels for the available bin resolution) — a silently
+    all-zero band would poison the log-mel floor downstream.
+    """
+    bin_hz = np.arange(n_bins, dtype=np.float64) * (sample_rate / n_fft)
+    top_hz = float(bin_hz[-1])
+    fmax = min(top_hz, float(fmax) if fmax is not None else sample_rate / 2.0)
+    if not 0.0 <= fmin < fmax:
+        raise ValueError(f"mel range [{fmin}, {fmax}] Hz is empty")
+    edges_hz = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    lo, ctr, hi = edges_hz[:-2], edges_hz[1:-1], edges_hz[2:]
+    up = (bin_hz[:, None] - lo[None, :]) / np.maximum(ctr - lo, 1e-12)[None, :]
+    down = (hi[None, :] - bin_hz[:, None]) / np.maximum(hi - ctr, 1e-12)[None, :]
+    fb = np.maximum(0.0, np.minimum(up, down))              # [n_bins, n_mels]
+    empty = np.where(fb.sum(axis=0) <= 0.0)[0]
+    if empty.size:
+        raise ValueError(
+            f"mel filter(s) {empty.tolist()} have no FFT-bin support: "
+            f"n_mels={n_mels} exceeds the resolution of {n_bins} bins over "
+            f"[{fmin:.0f}, {fmax:.0f}] Hz — reduce n_mels or raise "
+            "max_bins/n_fft"
+        )
+    return fb.astype(np.float32)
+
+
+def dct_ortho(n_in: int, n_out: int) -> np.ndarray:
+    """[n_in, n_out] orthonormal DCT-II matrix (scipy.fft.dct norm='ortho'
+    convention): out[j] = sum_i x[i] * c_j * cos(pi*(2i+1)*j / (2*n_in))."""
+    i = np.arange(n_in, dtype=np.float64)[:, None]
+    j = np.arange(n_out, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * (2.0 * i + 1.0) * j / (2.0 * n_in)) * np.sqrt(2.0 / n_in)
+    m[:, 0] *= np.sqrt(0.5)
+    return m.astype(np.float32)
+
+
 # 8-bit mu-law companding (mu=255) over peak-normalized samples: the
 # optional half-of-int16 upload codec for bandwidth-bound corpora
 # (SpectrogramConfig.upload_codec="mulaw8").  ~38 dB companding SNR — far
@@ -75,6 +139,13 @@ def mulaw_decode_device(q: jax.Array) -> jax.Array:
         "max_bins",
         "fft_impl",
         "fft_precision",
+        "feature",
+        "n_mels",
+        "n_mfcc",
+        "sample_rate",
+        "fmin",
+        "fmax",
+        "return_energy",
     ),
 )
 def batched_spectrogram(
@@ -91,12 +162,26 @@ def batched_spectrogram(
     max_bins: int | None = None,
     fft_impl: str = "matmul",
     fft_precision: str = "high",
-) -> tuple[jax.Array, jax.Array]:
-    """[B, N] padded signals -> ([B, F, bins] spectrograms, [B] frame counts).
+    feature: str = "bins",
+    n_mels: int = 64,
+    n_mfcc: int = 20,
+    sample_rate: int = 44_100,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    return_energy: bool = False,
+):
+    """[B, N] padded signals -> ([B, F, feat] features, [B] frame counts).
 
     F = frame capacity of the padded length; frames past a clip's true frame
-    count contain the log-floor (silence) and must be masked downstream via
+    count contain the pad fill (the log floor for "bins"/"mel" log features,
+    0.0 otherwise — `feature_pad_fill`) and must be masked downstream via
     the returned frame counts.
+
+    feature="mel"/"mfcc" appends the filterbank (and DCT) contraction to the
+    same fused program; with return_energy=True a third output [B, F] carries
+    the segmentation frame energy computed from the RAW capped power spectrum
+    (identical to frame_energy on the feature="bins" output), so the energy
+    gate never depends on the feature choice.
     """
     import chex
 
@@ -171,20 +256,72 @@ def batched_spectrogram(
     ).astype(jnp.int32)
     frame_ids = jnp.arange(F, dtype=jnp.int32)[None, :, None]  # [1, F, 1]
     valid = frame_ids < frame_counts[:, None, None]
-    if log_scale:
-        out = jnp.log10(jnp.maximum(out, log_floor))
-        out = jnp.where(valid, out, jnp.log10(jnp.float32(log_floor)))
+
+    def _bins_output(lin):
+        if log_scale:
+            o = jnp.log10(jnp.maximum(lin, log_floor))
+            return jnp.where(valid, o, jnp.log10(jnp.float32(log_floor)))
+        return jnp.where(valid, lin, 0.0)
+
+    energy = None
+    if return_energy:
+        # The segmentation gate's input, regardless of feature head: exactly
+        # frame_energy() of the "bins" output (bit-identical to the two-call
+        # path the feature="bins" tile uses).
+        energy = frame_energy(_bins_output(out), log_scale=log_scale, power=power)
+
+    if feature == "bins":
+        feats = _bins_output(out)
+    elif feature in ("mel", "mfcc"):
+        fb = jnp.asarray(
+            mel_filterbank(out.shape[-1], sample_rate, n_fft, n_mels, fmin, fmax)
+        )
+        # Zero the pad frames BEFORE projecting so they cannot bleed into
+        # the mel sums; HIGHEST precision — the filterbank matmul is ~30x
+        # cheaper than the DFT, so the exact pass costs nothing measurable.
+        melp = jnp.einsum(
+            "bfk,km->bfm",
+            jnp.where(valid, out, 0.0),
+            fb,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if feature == "mel":
+            if log_scale:
+                feats = jnp.where(
+                    valid,
+                    jnp.log10(jnp.maximum(melp, log_floor)),
+                    jnp.log10(jnp.float32(log_floor)),
+                )
+            else:
+                feats = jnp.where(valid, melp, 0.0)
+        else:  # mfcc: log compression of the mel bands is definitional
+            logmel = jnp.log10(jnp.maximum(melp, log_floor))
+            mf = jnp.einsum(
+                "bfm,mc->bfc",
+                logmel,
+                jnp.asarray(dct_ortho(n_mels, n_mfcc)),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            feats = jnp.where(valid, mf, 0.0)
     else:
-        out = jnp.where(valid, out, 0.0)
-    return out.astype(jnp.float32), frame_counts
+        raise ValueError(f"unknown feature {feature!r}")
+
+    feats = feats.astype(jnp.float32)
+    if return_energy:
+        return feats, frame_counts, energy
+    return feats, frame_counts
 
 
-def spectrogram_from_config(
-    signals: jax.Array, lengths: jax.Array, cfg: SpectrogramConfig
-) -> tuple[jax.Array, jax.Array]:
-    return batched_spectrogram(
-        signals,
-        lengths,
+def feature_pad_fill(cfg: SpectrogramConfig) -> float:
+    """The constant that pad frames (and rows past a clip's frame count)
+    hold in assembled feature arrays — matches batched_spectrogram's mask."""
+    if cfg.feature == "mfcc" or not cfg.log_scale:
+        return 0.0
+    return float(np.log10(np.float32(cfg.log_floor)))
+
+
+def _cfg_kwargs(cfg: SpectrogramConfig) -> dict:
+    return dict(
         win_length=cfg.win_length,
         hop_length=cfg.hop_length,
         window=cfg.window,
@@ -195,7 +332,19 @@ def spectrogram_from_config(
         max_bins=cfg.max_bins,
         fft_impl=cfg.fft_impl,
         fft_precision=cfg.fft_precision,
+        feature=cfg.feature,
+        n_mels=cfg.n_mels,
+        n_mfcc=cfg.n_mfcc,
+        sample_rate=cfg.sample_rate,
+        fmin=cfg.fmin,
+        fmax=cfg.fmax,
     )
+
+
+def spectrogram_from_config(
+    signals: jax.Array, lengths: jax.Array, cfg: SpectrogramConfig
+) -> tuple[jax.Array, jax.Array]:
+    return batched_spectrogram(signals, lengths, **_cfg_kwargs(cfg))
 
 
 @partial(
@@ -211,6 +360,12 @@ def spectrogram_from_config(
         "max_bins",
         "fft_impl",
         "fft_precision",
+        "feature",
+        "n_mels",
+        "n_mfcc",
+        "sample_rate",
+        "fmin",
+        "fmax",
     ),
 )
 def _spectrogram_energy_tile(signals, lengths, scales=None, **kw):
@@ -235,6 +390,10 @@ def _spectrogram_energy_tile(signals, lengths, scales=None, **kw):
         signals = mulaw_decode_device(signals)
         if scales is not None:
             signals = signals * scales[:, None]
+    if kw.get("feature", "bins") != "bins":
+        # One pass: feature head + raw-spectrum energy share the power
+        # spectrum inside the fused program (the gate is feature-invariant).
+        return batched_spectrogram(signals, lengths, return_energy=True, **kw)
     out, fc = batched_spectrogram(signals, lengths, **kw)
     en = frame_energy(
         out,
@@ -300,12 +459,12 @@ def spectrogram_corpus(
     # upload would mostly carry zero rows (a 3-clip corpus in a 16-row tile
     # wastes 81% of the host->device bandwidth).
     clip_batch = min(clip_batch, B)
-    bins = cfg.n_bins
+    bins = cfg.feature_dim
     specs = None
     if not return_device:
-        specs = np.full((B, F_max, bins), np.float32(0.0), dtype=np.float32)
-        if cfg.log_scale:
-            specs[:] = np.log10(np.float32(cfg.log_floor))
+        specs = np.full(
+            (B, F_max, bins), np.float32(feature_pad_fill(cfg)), dtype=np.float32
+        )
     frame_counts = frames_per_clip.copy()
     energies = np.full((B, F_max), np.log10(np.float32(1e-10)), dtype=np.float32)
 
@@ -360,16 +519,7 @@ def spectrogram_corpus(
                 jnp.asarray(tile_sig),
                 jnp.asarray(tile_len),
                 scales=None if g_scales is None else jnp.asarray(g_scales),
-                win_length=cfg.win_length,
-                hop_length=cfg.hop_length,
-                window=cfg.window,
-                n_fft=cfg.n_fft,
-                power=cfg.power,
-                log_scale=cfg.log_scale,
-                log_floor=cfg.log_floor,
-                max_bins=cfg.max_bins,
-                fft_impl=cfg.fft_impl,
-                fft_precision=cfg.fft_precision,
+                **_cfg_kwargs(cfg),
             )
             if return_device:
                 # Invalid frames already hold the log floor (masked in the
@@ -392,7 +542,7 @@ def spectrogram_corpus(
                 else group_tiles[0]
             )
             if g.shape[1] < F_max:
-                fill = np.log10(np.float32(cfg.log_floor)) if cfg.log_scale else 0.0
+                fill = feature_pad_fill(cfg)
                 g = jnp.pad(
                     g,
                     ((0, 0), (0, F_max - g.shape[1]), (0, 0)),

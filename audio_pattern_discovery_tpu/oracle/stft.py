@@ -27,6 +27,87 @@ def num_frames(n_samples: int, win_length: int, hop_length: int) -> int:
     return 1 + (n_samples - win_length) // hop_length
 
 
+def mel_filterbank_oracle(
+    n_bins: int,
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """[n_bins, n_mels] float64 triangular HTK-mel filterbank, peak 1.
+
+    Deliberately loop-based and written independently of the vectorized
+    device-side builder (ops/spectrogram.mel_filterbank) so transcription
+    bugs in either cannot cancel out in the parity tests.
+    """
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    top = (n_bins - 1) * sample_rate / n_fft
+    hi_edge = min(top, fmax if fmax is not None else sample_rate / 2.0)
+    pts = np.array([hz(m) for m in np.linspace(mel(fmin), mel(hi_edge), n_mels + 2)])
+    fb = np.zeros((n_bins, n_mels), dtype=np.float64)
+    for b in range(n_mels):
+        lo, c, hi_ = pts[b], pts[b + 1], pts[b + 2]
+        for k in range(n_bins):
+            f = k * sample_rate / n_fft
+            if lo < f <= c and c > lo:
+                fb[k, b] = (f - lo) / (c - lo)
+            elif c < f < hi_ and hi_ > c:
+                fb[k, b] = (hi_ - f) / (hi_ - c)
+            elif f == lo == c:
+                fb[k, b] = 1.0
+    return fb
+
+
+def mel_oracle(
+    spec_linear: np.ndarray,       # [n_frames, n_bins] LINEAR power/magnitude
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    log_scale: bool = True,
+    log_floor: float = 1e-10,
+) -> np.ndarray:
+    """[n_frames, n_mels] float64 (log-)mel spectrogram."""
+    fb = mel_filterbank_oracle(
+        spec_linear.shape[1], sample_rate, n_fft, n_mels, fmin, fmax
+    )
+    m = np.asarray(spec_linear, np.float64) @ fb
+    if log_scale:
+        m = np.log10(np.maximum(m, log_floor))
+    return m
+
+
+def mfcc_oracle(
+    spec_linear: np.ndarray,
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    n_mfcc: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    log_floor: float = 1e-10,
+) -> np.ndarray:
+    """[n_frames, n_mfcc] float64 MFCCs (orthonormal DCT-II of log-mel)."""
+    logmel = mel_oracle(
+        spec_linear, sample_rate, n_fft, n_mels, fmin, fmax,
+        log_scale=True, log_floor=log_floor,
+    )
+    n = n_mels
+    out = np.zeros((logmel.shape[0], n_mfcc), dtype=np.float64)
+    for j in range(n_mfcc):
+        basis = np.cos(np.pi * (2.0 * np.arange(n) + 1.0) * j / (2.0 * n))
+        scale = np.sqrt(1.0 / n) if j == 0 else np.sqrt(2.0 / n)
+        out[:, j] = scale * (logmel @ basis)
+    return out
+
+
 def stft_oracle(
     signal: np.ndarray,
     win_length: int = 1024,

@@ -306,7 +306,7 @@ def _prepare_corpus(
         num_frames(int(n), cfg.spectrogram.win_length, cfg.spectrogram.hop_length)
         for n in stream.sample_lengths
     )
-    resident_bytes = 4 * len(stream) * f_max_est * cfg.spectrogram.n_bins
+    resident_bytes = 4 * len(stream) * f_max_est * cfg.spectrogram.feature_dim
     on_device = resident_bytes <= cfg.spectrogram.max_resident_bytes
     with counters.time_stage("spectrogram"):
         specs_any, frame_counts, energies = spectrogram_corpus(
