@@ -95,7 +95,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
     args = build_parser().parse_args(argv)
+    if os.environ.get("APD_FORCE_CPU"):
+        # Honor the host-only switch for EVERY subcommand (discover, update,
+        # query, doctor) — during a backend outage a CLI run that silently
+        # attempts the TPU handshake hangs for the outage's duration.  The
+        # axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag
+        # is the working off-TPU switch (CLAUDE.md gotcha).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg = PipelineConfig.from_json(args.config) if args.config else PipelineConfig()
     if args.overrides:
         cfg = cfg.override(dict(args.overrides))
@@ -103,14 +114,6 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(cfg.to_dict(), indent=2))
         return 0
     if args.doctor:
-        import os
-
-        if os.environ.get("APD_FORCE_CPU"):
-            # The axon TPU plugin ignores the JAX_PLATFORMS env var; the
-            # config flag is the working off-TPU switch (CLAUDE.md gotcha).
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
         from audio_pattern_discovery_tpu.utils.doctor import run_doctor
 
         print(json.dumps(run_doctor(), indent=2))

@@ -32,8 +32,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(jnp.inf)
+# np scalar, NOT jnp: a jnp scalar constructor at module scope initializes
+# the default backend at import time (a TPU tunnel handshake before the
+# CLI can force the CPU platform; wedges every import during an outage).
+INF = np.float32(np.inf)
 
 
 # --------------------------------------------------------------------- costs

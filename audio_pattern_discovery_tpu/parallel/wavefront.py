@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
@@ -41,7 +42,10 @@ def _shard_map(f, **kw):
 
 from audio_pattern_discovery_tpu.ops.dtw_long import dtw_block_kernel
 
-INF = jnp.float32(jnp.inf)
+# np scalar, NOT jnp: a jnp scalar constructor at module scope initializes
+# the default backend at import time (a TPU tunnel handshake before the
+# CLI can force the CPU platform; wedges every import during an outage).
+INF = np.float32(np.inf)
 
 # Compiled-callable cache: one jitted shard_map per static configuration
 # (mesh, axis, metric, band shape, block grid, batch).  The shard_fn closure
