@@ -132,6 +132,14 @@ class AutoencoderConfig:
     # If False the pipeline runs DTW over raw spectrogram frames (the
     # minimum end-to-end slice, SURVEY.md SS8 P3).
     enabled: bool = True
+    # Embedding method when enabled: "ae" trains the autoencoder; "pca"
+    # computes a deterministic PCA(-whitening) projection to latent_dim
+    # components instead — no training loop, one covariance matmul on
+    # device plus a tiny host eigensolve (models/pca.py).  Same
+    # checkpoint/update semantics as the AE (the frozen projection is what
+    # keeps reused distances valid).
+    method: str = "ae"              # "ae" | "pca"
+    pca_whiten: bool = True
     # Orbax checkpoint/resume (SURVEY.md SS6.4): with `checkpoint` on and an
     # out_dir given, the trained state+scaler persist under
     # out_dir/<checkpoint_dir>; an existing checkpoint is restored instead
@@ -300,6 +308,16 @@ class PipelineConfig:
         )
         check(self.autoencoder.latent_dim > 0, "autoencoder.latent_dim must be > 0")
         check(self.autoencoder.epochs >= 0, "autoencoder.epochs must be >= 0")
+        check(
+            self.autoencoder.method in ("ae", "pca"),
+            f"autoencoder.method={self.autoencoder.method!r}",
+        )
+        if self.autoencoder.enabled and self.autoencoder.method == "pca":
+            check(
+                self.autoencoder.latent_dim <= sp.feature_dim,
+                f"autoencoder.latent_dim={self.autoencoder.latent_dim} exceeds "
+                f"the feature dimension {sp.feature_dim} (PCA cannot expand)",
+            )
         check(
             0.0 <= cl.auto_cut_quantile <= 1.0,
             f"cluster.auto_cut_quantile={cl.auto_cut_quantile} must be in [0, 1]",

@@ -431,11 +431,17 @@ def discover(
         if cfg.autoencoder.enabled:
             from audio_pattern_discovery_tpu.utils.checkpoint import (
                 has_ae_checkpoint,
+                has_pca_checkpoint,
             )
 
-            if not has_ae_checkpoint(update_from / cfg.autoencoder.checkpoint_dir):
+            has_ckpt = (
+                has_pca_checkpoint(update_from / cfg.autoencoder.checkpoint_dir)
+                if cfg.autoencoder.method == "pca"
+                else has_ae_checkpoint(update_from / cfg.autoencoder.checkpoint_dir)
+            )
+            if not has_ckpt:
                 raise ValueError(
-                    "update_from: the autoencoder is enabled but the prior "
+                    "update_from: the embedding is enabled but the prior "
                     "run saved no checkpoint — the frozen embedding model is "
                     "required to reuse its distances (rerun the full "
                     "discovery with -s autoencoder.checkpoint=true)"
@@ -531,9 +537,58 @@ def discover(
         except ValueError as e:
             raise ValueError(f"update_from: {e}") from None
 
-    # ---- L3: autoencoder embed (device) ---------------------------------
+    # ---- L3: embedding (device) -----------------------------------------
     ae_losses: list[float] = []
-    if cfg.autoencoder.enabled:
+    if cfg.autoencoder.enabled and cfg.autoencoder.method == "pca":
+        # Linear PCA(-whitening) embedder: covariance on device, eigensolve
+        # on host, projection on device (models/pca.py).  Shares the AE's
+        # checkpoint/update contract — the frozen projection is what keeps
+        # reused distances valid.
+        from audio_pattern_discovery_tpu.models.pca import encode_pca, fit_pca
+        from audio_pattern_discovery_tpu.utils.checkpoint import (
+            has_pca_checkpoint,
+            restore_pca_checkpoint,
+            save_pca_checkpoint,
+        )
+
+        ckpt_dir = None
+        if cfg.autoencoder.checkpoint and out_dir is not None:
+            ckpt_dir = Path(out_dir) / cfg.autoencoder.checkpoint_dir
+        restore_dir = (
+            update_from / cfg.autoencoder.checkpoint_dir
+            if update_state is not None
+            else ckpt_dir
+        )
+        with counters.time_stage("embedding_fit"):
+            if restore_dir is not None and has_pca_checkpoint(restore_dir):
+                pca_state, scaler = restore_pca_checkpoint(restore_dir)
+                log.info(f"restored PCA embedding from {restore_dir}")
+                if (
+                    ckpt_dir is not None
+                    and Path(ckpt_dir).resolve() != Path(restore_dir).resolve()
+                ):
+                    save_pca_checkpoint(ckpt_dir, pca_state, scaler)
+            else:
+                flat = np.concatenate(
+                    [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
+                )
+                scaler = FeatureScaler.fit(flat)
+                pca_state = fit_pca(
+                    scaler.transform(flat).astype(np.float32),
+                    cfg.autoencoder.latent_dim,
+                    whiten=cfg.autoencoder.pca_whiten,
+                )
+                log.info(
+                    f"PCA embedding: {cfg.autoencoder.latent_dim} components "
+                    f"capture {100 * float(pca_state.explained.sum()):.1f}% "
+                    "of frame variance"
+                )
+                if ckpt_dir is not None:
+                    save_pca_checkpoint(ckpt_dir, pca_state, scaler)
+        with counters.time_stage("embedding_encode"):
+            features = encode_pca(pca_state, scaler.transform(seg_frames_dev))
+        seg_frames_dev = None
+    elif cfg.autoencoder.enabled:
         ckpt_dir = None
         if cfg.autoencoder.checkpoint and out_dir is not None:
             ckpt_dir = Path(out_dir) / cfg.autoencoder.checkpoint_dir

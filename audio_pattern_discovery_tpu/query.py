@@ -105,12 +105,18 @@ def query_corpus(
     if cfg.autoencoder.enabled:
         from audio_pattern_discovery_tpu.utils.checkpoint import (
             has_ae_checkpoint,
+            has_pca_checkpoint,
             restore_ae_checkpoint,
         )
 
-        if not has_ae_checkpoint(prior / cfg.autoencoder.checkpoint_dir):
+        _has = (
+            has_pca_checkpoint
+            if cfg.autoencoder.method == "pca"
+            else has_ae_checkpoint
+        )
+        if not _has(prior / cfg.autoencoder.checkpoint_dir):
             raise ValueError(
-                "query: the autoencoder is enabled but the indexed run "
+                "query: the embedding is enabled but the indexed run "
                 "saved no checkpoint (rerun it with "
                 "-s autoencoder.checkpoint=true)"
             )
@@ -155,7 +161,20 @@ def query_corpus(
             "segmentation config or check the recording level"
         )
 
-    if cfg.autoencoder.enabled:
+    if cfg.autoencoder.enabled and cfg.autoencoder.method == "pca":
+        import jax.numpy as jnp
+
+        from audio_pattern_discovery_tpu.models.pca import encode_pca
+        from audio_pattern_discovery_tpu.utils.checkpoint import (
+            restore_pca_checkpoint,
+        )
+
+        pca_state, scaler = restore_pca_checkpoint(
+            prior / cfg.autoencoder.checkpoint_dir
+        )
+        src = seg_frames_dev if seg_frames_dev is not None else jnp.asarray(seg_frames)
+        features = encode_pca(pca_state, scaler.transform(src))
+    elif cfg.autoencoder.enabled:
         import jax.numpy as jnp
 
         model, ae_state, scaler = restore_ae_checkpoint(

@@ -103,3 +103,44 @@ def restore_ae_checkpoint(
             np.asarray(tree["scaler"]["std"], np.float32),
         )
     return model, state, scaler
+
+
+# ---------------------------------------------------------------- PCA
+# The PCA embedder's "state" is four small arrays; a plain .npz is the
+# whole checkpoint (orbax would be machinery without benefit here).
+
+_PCA_FILE = "pca_state.npz"
+
+
+def save_pca_checkpoint(ckpt_dir, state, scaler) -> None:
+    """Persist PCAState + FeatureScaler under `ckpt_dir`."""
+    from pathlib import Path as _P
+
+    d = _P(ckpt_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        d / _PCA_FILE,
+        mean=state.mean,
+        components=state.components,
+        scale=state.scale,
+        explained=state.explained,
+        scaler_mean=scaler.mean,
+        scaler_std=scaler.std,
+    )
+
+
+def has_pca_checkpoint(ckpt_dir) -> bool:
+    return (Path(ckpt_dir) / _PCA_FILE).is_file()
+
+
+def restore_pca_checkpoint(ckpt_dir):
+    """-> (PCAState, FeatureScaler) saved by save_pca_checkpoint."""
+    from audio_pattern_discovery_tpu.models.pca import PCAState
+
+    z = np.load(Path(ckpt_dir) / _PCA_FILE)
+    state = PCAState(
+        mean=z["mean"], components=z["components"],
+        scale=z["scale"], explained=z["explained"],
+    )
+    scaler = FeatureScaler(z["scaler_mean"], z["scaler_std"])
+    return state, scaler
