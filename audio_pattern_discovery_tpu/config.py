@@ -74,6 +74,12 @@ class SpectrogramConfig:
     # feature-invariant (tested).  For "mfcc" the mel log-compression is
     # definitional and applied regardless of log_scale.
     feature: str = "bins"           # "bins" | "mel" | "mfcc"
+    # Mixed-rate corpora: "warn" (default) logs and proceeds — window/hop
+    # are in samples, so off-rate clips land on a different time/frequency
+    # scale; "auto" polyphase-resamples every off-rate clip to sample_rate
+    # at load (io/resample.py; host-side — fewer bytes ever ship to the
+    # device when downsampling).
+    resample: str = "warn"          # "warn" | "auto"
     n_mels: int = 64
     n_mfcc: int = 20
     fmin: float = 0.0               # mel filterbank low edge (Hz)
@@ -267,6 +273,10 @@ class PipelineConfig:
         check(
             sp.feature in ("bins", "mel", "mfcc"),
             f"spectrogram.feature={sp.feature!r}",
+        )
+        check(
+            sp.resample in ("warn", "auto"),
+            f"spectrogram.resample={sp.resample!r}",
         )
         if sp.feature in ("mel", "mfcc"):
             check(sp.n_mels >= 2, f"spectrogram.n_mels={sp.n_mels} must be >= 2")

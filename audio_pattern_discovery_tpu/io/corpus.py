@@ -53,6 +53,7 @@ class StreamingCorpus:
         use_native: bool = True,
         chunk: int = 16,
         paths: list[Path] | None = None,
+        resample_to: int | None = None,
     ):
         # An explicit `paths` list overrides the sorted glob: incremental
         # update needs prior clips at their original indices (stored order)
@@ -73,6 +74,27 @@ class StreamingCorpus:
         self.format_tags = np.array([i[2] for i in info], dtype=np.int32)
         self.bits = np.array([i[3] for i in info], dtype=np.int32)
         self.channels = np.array([i[4] for i in info], dtype=np.int32)
+        # Rate unification (spectrogram.resample="auto"): clips at other
+        # rates are polyphase-resampled as they load, and the header-probe
+        # metadata is rewritten UP FRONT so tile planning (which only sees
+        # lengths/rates) already reflects the resampled signal.
+        self.original_rates = self.sample_rates.copy()
+        self._resample_to = resample_to
+        self._resample_mask = (
+            self.sample_rates != resample_to
+            if resample_to is not None
+            else np.zeros(len(self.paths), dtype=bool)
+        )
+        if self._resample_mask.any():
+            from audio_pattern_discovery_tpu.io.resample import resampled_length
+
+            for i in np.where(self._resample_mask)[0]:
+                self.sample_lengths[i] = resampled_length(
+                    int(self.sample_lengths[i]),
+                    int(self.sample_rates[i]),
+                    resample_to,
+                )
+                self.sample_rates[i] = resample_to
         if expected_rate is not None:
             for p, r in zip(self.paths, self.sample_rates):
                 if int(r) != expected_rate:
@@ -92,6 +114,10 @@ class StreamingCorpus:
         PCM16).  Multichannel PCM16 is excluded: the mono downmix averages
         channels into half-LSB values that int16 re-quantization would
         round, silently breaking the bit-exactness contract."""
+        if self._resample_mask.any():
+            # Resampled samples are filtered floats; re-quantizing them to
+            # int16 would break the exactness contract this property gates.
+            return False
         return bool((
             (self.format_tags == 1) & (self.bits == 16) & (self.channels == 1)
         ).all())
@@ -118,6 +144,18 @@ class StreamingCorpus:
                 for p in chunk_paths:
                     samples, rate = read_wav(p)
                     loaded.append(Clip(str(p), samples, rate))
+            if self._resample_mask[s:e].any():
+                from audio_pattern_discovery_tpu.io.resample import resample
+
+                for k, c in enumerate(loaded):
+                    if self._resample_mask[s + k]:
+                        loaded[k] = Clip(
+                            c.path,
+                            resample(
+                                c.samples, c.sample_rate, self._resample_to
+                            ),
+                            self._resample_to,
+                        )
             self._clips[s:e] = loaded
             self._loaded = e
 

@@ -275,18 +275,29 @@ def _prepare_corpus(
     else:
         scales = None
     rates = np.unique(stream.sample_rates)
-    if len(rates) > 1:
+    n_resampled = int(getattr(stream, "_resample_mask", np.zeros(0, bool)).sum())
+    if n_resampled:
+        orig = np.unique(stream.original_rates)
+        log.info(
+            f"resampling {n_resampled}/{len(stream)} clip(s) "
+            f"{sorted(int(r) for r in orig if r != cfg.spectrogram.sample_rate)}"
+            f" Hz -> {cfg.spectrogram.sample_rate} Hz (spectrogram.resample="
+            "auto)"
+        )
+    elif len(rates) > 1:
         log.warning(
             f"corpus mixes sample rates {rates.tolist()}: frame times and "
-            "DTW distances are not comparable across rates — resample to "
-            f"one rate (config expects {cfg.spectrogram.sample_rate} Hz)"
+            "DTW distances are not comparable across rates — set "
+            "spectrogram.resample=auto or resample to one rate (config "
+            f"expects {cfg.spectrogram.sample_rate} Hz)"
         )
     elif int(rates[0]) != cfg.spectrogram.sample_rate:
         log.warning(
             f"corpus sample rate {int(rates[0])} != configured "
             f"spectrogram.sample_rate {cfg.spectrogram.sample_rate}; "
             "window/hop lengths are in samples, so frame durations will "
-            "differ from the configured intent"
+            "differ from the configured intent (spectrogram.resample=auto "
+            "converts instead)"
         )
     log.info(
         f"probed headers of {len(stream)} clips"
@@ -515,7 +526,15 @@ def discover(
             log.info(
                 f"update: {len(stored)} prior clips, {len(new_paths)} new"
             )
-        stream = StreamingCorpus(wav_dir, paths=ordered_paths)
+        stream = StreamingCorpus(
+            wav_dir,
+            paths=ordered_paths,
+            resample_to=(
+                cfg.spectrogram.sample_rate
+                if cfg.spectrogram.resample == "auto"
+                else None
+            ),
+        )
     counters.add("clips", len(stream))
 
     # ---- L1+L4: spectrograms -> segmentation -> segment frames ----------

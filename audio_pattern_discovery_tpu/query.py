@@ -126,11 +126,20 @@ def query_corpus(
     for p in qpaths:
         if not p.exists():
             raise FileNotFoundError(f"query wav not found: {p}")
-    stream = StreamingCorpus(stored[0].parent, paths=stored + qpaths)
+    stream = StreamingCorpus(
+        stored[0].parent,
+        paths=stored + qpaths,
+        resample_to=(
+            cfg.spectrogram.sample_rate
+            if cfg.spectrogram.resample == "auto"
+            else None
+        ),
+    )
 
     # win/hop are in SAMPLES: a query recorded at a different rate than the
     # indexed corpus lands its frames on a different time/frequency scale
-    # and every distance is meaningless — reject, don't warn.
+    # and every distance is meaningless — reject, don't warn (with
+    # resample=auto the stream has already unified the rates instead).
     corpus_rates = set(int(r) for r in state["sample_rates"])
     bad = [
         f"{p} ({int(r)} Hz)"
@@ -141,7 +150,7 @@ def query_corpus(
         raise ValueError(
             f"query wav sample rate differs from the indexed corpus "
             f"({sorted(corpus_rates)} Hz): {', '.join(bad)}; resample the "
-            "query first"
+            "query first or set spectrogram.resample=auto"
         )
 
     # One shared linear-stage implementation with discover() — index reuse
