@@ -75,7 +75,8 @@ def write_html_report(out_dir: str | Path, manifest: dict) -> Path:
 </style></head><body>
 <h1>Discovered patterns</h1>
 <p>{manifest['n_clips']} clips &middot; {manifest['n_segments']} segments &middot;
-   {manifest['n_clusters']} clusters</p>
+   {manifest['n_clusters']} clusters &middot;
+   mean silhouette {manifest.get('silhouette_mean', 'n/a')}</p>
 {ae_note}
 <details><summary>Stage timings</summary><table>{timing_rows}</table></details>
 {''.join(rows)}

@@ -145,10 +145,18 @@ class DiscoveryResult:
                     },
                 }
             )
+        from audio_pattern_discovery_tpu.cluster.metrics import cluster_quality
+
+        quality = cluster_quality(self.distance_matrix, self.labels)
+        for c in clusters:
+            c["quality"] = quality["clusters"].get(
+                int(self.labels[c["exemplar"]]), {}
+            )
         return {
             "n_clips": len(self.clips),
             "n_segments": len(self.segments),
             "n_clusters": len(self.clusters),
+            "silhouette_mean": quality["silhouette_mean"],
             "clusters": clusters,
             "ae_losses": [round(x, 6) for x in self.ae_losses],
             "counters": self.counters.to_dict(),
