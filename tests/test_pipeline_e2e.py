@@ -322,6 +322,51 @@ def test_behavior_matches_committed_golden(tmp_path):
     assert partition(result.labels) == partition(ref["labels"])
 
 
+def test_behavior_matches_committed_golden_mfcc_pca(tmp_path):
+    """Second cross-round anchor covering the round-3 front-end variants:
+    MFCC features + the PCA embedder on the same seed-7 corpus.  Recorded
+    under the suite env (8-virtual-device CPU mesh); re-record
+    tests/golden/GOLDEN_cpu_seed7_mfcc_pca.npz and justify in the commit
+    message if a change legitimately alters behavior."""
+    import pathlib
+
+    import numpy as np
+
+    from audio_pattern_discovery_tpu.config import PipelineConfig
+    from audio_pattern_discovery_tpu.pipeline import discover
+    from audio_pattern_discovery_tpu.synthetic import make_corpus
+
+    golden_path = (
+        pathlib.Path(__file__).parent / "golden" / "GOLDEN_cpu_seed7_mfcc_pca.npz"
+    )
+    make_corpus(tmp_path / "corpus", n_clips=12, n_motifs=3, seed=7)
+    cfg = PipelineConfig()
+    cfg.dtw.band = 16
+    cfg.spectrogram.feature = "mfcc"
+    cfg.spectrogram.n_mels = 48
+    cfg.spectrogram.n_mfcc = 16
+    cfg.autoencoder.method = "pca"
+    cfg.autoencoder.latent_dim = 8
+    cfg.output.write_snippets = False
+    cfg.output.write_images = False
+    cfg.output.write_html_report = False
+    result = discover(tmp_path / "corpus", cfg)
+
+    ref = np.load(golden_path)
+    assert result.distance_matrix.shape == ref["D"].shape
+    np.testing.assert_allclose(
+        result.distance_matrix, ref["D"], rtol=1e-4, atol=1e-5
+    )
+
+    def partition(labels):
+        groups = {}
+        for i, lab in enumerate(labels):
+            groups.setdefault(int(lab), []).append(i)
+        return sorted(tuple(g) for g in groups.values())
+
+    assert partition(result.labels) == partition(ref["labels"])
+
+
 def test_mulaw8_upload_quality_parity(tmp_path):
     """upload_codec="mulaw8" (half-of-int16 bandwidth) must preserve
     discovery quality on a planted corpus: same purity gate and the same
