@@ -213,6 +213,10 @@ class OutputConfig:
     max_images_per_cluster: int = 8
     write_html_report: bool = True  # self-contained index.html
     manifest_name: str = "clusters.json"
+    # features.npz: the embedded per-segment feature sequences ([K, L, d]
+    # padded + [K] lengths + [K] labels) for downstream analysis outside
+    # the framework (plotting, external clustering, classifier training).
+    write_features: bool = False
 
 
 @dataclass

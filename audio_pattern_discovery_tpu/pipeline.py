@@ -914,6 +914,13 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
         "feature_fingerprint": _feature_fingerprint(cfg),
     }
     (out / "state.json").write_text(json.dumps(state))
+    if cfg.output.write_features:
+        np.savez_compressed(
+            out / "features.npz",
+            features=result.seg_features,
+            lengths=result.seg_lengths,
+            labels=result.labels,
+        )
     if cfg.output.write_images and result.clusters:
         from audio_pattern_discovery_tpu.io.images import write_cluster_images
 

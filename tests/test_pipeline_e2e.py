@@ -438,3 +438,24 @@ def test_mixed_sample_rate_warning(tmp_path):
     except Exception:
         pass  # quality of results on a junk corpus is not the point
     assert any("mixes sample rates" in m for m in records)
+
+
+def test_features_export(tmp_path):
+    """output.write_features=true dumps the embedded segment features for
+    downstream analysis, consistent with the result object."""
+    import numpy as np
+
+    corpus = tmp_path / "corpus"
+    make_corpus(corpus, n_clips=6, n_motifs=2, occurrences_per_clip=2,
+                clip_seconds=2.0, sample_rate=16_000, seed=4)
+    cfg = _small_config(ae=False)
+    cfg.output.write_features = True
+    cfg.output.write_images = False
+    cfg.output.write_html_report = False
+    cfg.output.write_snippets = False
+    out = tmp_path / "out"
+    res = discover(corpus, cfg, out_dir=out)
+    z = np.load(out / "features.npz")
+    np.testing.assert_array_equal(z["features"], res.seg_features)
+    np.testing.assert_array_equal(z["lengths"], res.seg_lengths)
+    np.testing.assert_array_equal(z["labels"], res.labels)

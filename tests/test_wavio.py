@@ -234,3 +234,18 @@ def test_streaming_corpus_stereo_pcm16_not_int16_exact(tmp_path, rng):
     write_wav(tmp_path / "mono.wav", x, 8000)
     sc2 = StreamingCorpus(tmp_path)    # mixed dir: still excluded
     assert not sc2.all_pcm16
+
+
+def test_corrupt_wav_fails_fast_with_filename(tmp_path, rng):
+    """A non-RIFF file in the corpus raises at HEADER-PROBE time (before
+    any samples load or device work starts) and names the bad file."""
+    import pytest
+
+    from audio_pattern_discovery_tpu.io.corpus import StreamingCorpus
+    from audio_pattern_discovery_tpu.io.wavio import write_wav
+
+    write_wav(tmp_path / "good.wav", rng.normal(0, 0.1, 4000).astype("float32"),
+              16_000)
+    (tmp_path / "bad.wav").write_bytes(b"not a riff file at all")
+    with pytest.raises(ValueError, match="bad.wav"):
+        StreamingCorpus(tmp_path)
