@@ -169,3 +169,41 @@ def test_scheduling_knobs_not_in_fingerprint(tmp_path):
     tuned.spectrogram.chunk_frames = 1024  # tile size, bit-identical output
     report = query_corpus(out, [query_wav], tuned, top_k=3)
     assert report["queries"][0]["matches"]
+
+
+def test_query_off_rate_wav_accepted_with_resample_auto(tmp_path):
+    """With spectrogram.resample=auto an off-rate query WAV is unified to
+    the analysis rate instead of rejected, and still ranks its own motif's
+    corpus segments first."""
+    from audio_pattern_discovery_tpu.io.resample import resample
+    from audio_pattern_discovery_tpu.io.wavio import read_wav, write_wav
+
+    truth, query_wav, cfg, out, result = _setup(tmp_path, ae=False)
+    # Re-encode the held-out query clip at 32 kHz.
+    x, r = read_wav(query_wav)
+    q32 = tmp_path / "q32k.wav"
+    write_wav(q32, resample(x, r, 32_000), 32_000)
+
+    with pytest.raises(ValueError, match="resample"):
+        query_corpus(out, [q32], cfg)          # default: rejected, with a hint
+
+    cfg.spectrogram.resample = "auto"
+    # The index was built without resampling; the fingerprint covers the
+    # resample knob, so querying with a different config must not pass
+    # silently — rebuild the index under the same config instead.
+    corpus = tmp_path / "corpus"
+    out2 = tmp_path / "out2"
+    result2 = discover(corpus, cfg, out_dir=out2)
+    report = query_corpus(out2, [q32], cfg)
+    assert report["n_query_segments"] >= 1
+    hop, win = cfg.spectrogram.hop_length, cfg.spectrogram.win_length
+    q = report["queries"][0]
+    q_motif = _motif_of(
+        truth, 10, q["start_frame"] * hop, (q["end_frame"] - 1) * hop + win
+    )
+    hit = q["matches"][0]
+    hit_motif = _motif_of(
+        truth, result2.segments[hit["segment"]].clip,
+        hit["start_sample"], hit["end_sample"],
+    )
+    assert q_motif is not None and q_motif == hit_motif
