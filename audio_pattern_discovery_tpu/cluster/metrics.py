@@ -35,7 +35,6 @@ def silhouette_samples(D: np.ndarray, labels: np.ndarray) -> np.ndarray:
     col = {int(c): j for j, c in enumerate(members)}
     own = np.array([col[int(l)] for l in labels])
     own_size = sizes[own]
-    s = np.zeros(K)
     multi = own_size > 1
     a = np.where(multi, sums[np.arange(K), own] / np.maximum(own_size - 1, 1), 0.0)
     mean_to = sums / sizes[None, :]

@@ -285,10 +285,18 @@ class PipelineConfig:
         if sp.feature in ("mel", "mfcc"):
             check(sp.n_mels >= 2, f"spectrogram.n_mels={sp.n_mels} must be >= 2")
             check(sp.fmin >= 0.0, f"spectrogram.fmin={sp.fmin} must be >= 0")
-            fmax = sp.fmax if sp.fmax is not None else sp.sample_rate / 2
+            # The filterbank clamps its top edge to the max_bins-capped
+            # spectrum; validate against the rate the builder will actually
+            # use so a bad range fails HERE, not mid-pipeline at trace time.
+            top_hz = (sp.n_bins - 1) * sp.sample_rate / sp.fft_size
+            fmax = min(
+                sp.fmax if sp.fmax is not None else sp.sample_rate / 2, top_hz
+            )
             check(
                 sp.fmin < fmax,
-                f"spectrogram.fmin={sp.fmin} must be < fmax={fmax}",
+                f"spectrogram.fmin={sp.fmin} must be < the effective fmax="
+                f"{fmax:.1f} Hz (min of fmax/Nyquist and the max_bins-capped "
+                f"top frequency {top_hz:.1f} Hz)",
             )
         if sp.feature == "mfcc":
             check(

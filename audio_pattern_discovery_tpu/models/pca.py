@@ -78,16 +78,18 @@ def fit_pca(
     )
 
 
+@jax.jit
+def _proj(x, mean, comps, scale):
+    return jnp.einsum(
+        "...d,dk->...k", x - mean, comps,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / scale
+
+
 def encode_pca(state: PCAState, frames: jax.Array) -> np.ndarray:
-    """[..., d] (scaled) frames -> [..., k] embedding, one device matmul."""
-
-    @jax.jit
-    def _proj(x, mean, comps, scale):
-        return jnp.einsum(
-            "...d,dk->...k", x - mean, comps,
-            precision=jax.lax.Precision.HIGHEST,
-        ) / scale
-
+    """[..., d] (scaled) frames -> [..., k] embedding, one device matmul.
+    (_proj is module-scope so repeat calls hit the jit cache instead of
+    retracing — compiles are minutes on the tunneled backend.)"""
     return np.asarray(
         _proj(
             jnp.asarray(frames),

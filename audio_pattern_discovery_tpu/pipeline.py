@@ -214,25 +214,44 @@ def _feature_fingerprint(cfg: PipelineConfig) -> str:
     clip_batch/chunk_frames/max_resident_bytes — tile-vs-single-shot bit
     identity is a tested invariant), AE checkpointing flags, and the whole
     AE section when the AE is disabled — so tuning dispatch sizes between
-    runs does not force a full K^2 recompute."""
+    runs does not force a full K^2 recompute.
+
+    Forward compatibility: keys whose value equals the dataclass DEFAULT
+    are dropped from the payload, so adding a new feature knob (with a
+    default that preserves behavior) does not invalidate every existing
+    index — only actually-changed knobs enter the hash.  spectrogram.
+    resample is excluded entirely: it only affects features through the
+    clips' actual rates, and real drift is caught by the stronger dynamic
+    guards (the stored segment-table comparison and the spot-check
+    re-computation of stored distances)."""
     import dataclasses
     import hashlib
 
-    sp = dataclasses.asdict(cfg.spectrogram)
-    for k in ("clip_batch", "chunk_frames", "max_resident_bytes"):
-        sp.pop(k)
-    dt = dataclasses.asdict(cfg.dtw)
+    def nondefault(section) -> dict:
+        d = dataclasses.asdict(section)
+        for f in dataclasses.fields(section):
+            default = (
+                f.default_factory()
+                if f.default_factory is not dataclasses.MISSING
+                else f.default
+            )
+            if f.name in d and d[f.name] == default:
+                d.pop(f.name)
+        return d
+
+    sp = nondefault(cfg.spectrogram)
+    for k in ("clip_batch", "chunk_frames", "max_resident_bytes", "resample"):
+        sp.pop(k, None)
+    dt = nondefault(cfg.dtw)
     for k in ("pair_batch", "length_bucketing"):
-        dt.pop(k)
-    ae = dataclasses.asdict(cfg.autoencoder)
-    if ae["enabled"]:
+        dt.pop(k, None)
+    ae = nondefault(cfg.autoencoder)
+    if cfg.autoencoder.enabled:
         for k in ("checkpoint", "checkpoint_dir"):
-            ae.pop(k)
+            ae.pop(k, None)
     else:
         ae = {"enabled": False}
-    payload = repr(
-        (sp, dataclasses.asdict(cfg.segmentation), ae, dt)
-    )
+    payload = repr((sp, nondefault(cfg.segmentation), ae, dt))
     return hashlib.sha1(payload.encode()).hexdigest()
 
 
@@ -894,9 +913,10 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     cfg = result.config
-    (out / cfg.output.manifest_name).write_text(
-        json.dumps(result.manifest(), indent=2)
-    )
+    # manifest() runs the O(K^2) silhouette pass — compute once, reuse for
+    # both the JSON manifest and the HTML report.
+    manifest = result.manifest()
+    (out / cfg.output.manifest_name).write_text(json.dumps(manifest, indent=2))
     np.save(out / "distance_matrix.npy", result.distance_matrix)
     # Incremental-update state (SS6.4): with distance_matrix.npy this is
     # everything a later `discover(update_from=...)` needs to validate that
@@ -934,7 +954,7 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
     if cfg.output.write_html_report:
         from audio_pattern_discovery_tpu.io.report import write_html_report
 
-        write_html_report(out, result.manifest())
+        write_html_report(out, manifest)
     if cfg.output.write_snippets:
         hop = cfg.spectrogram.hop_length
         win = cfg.spectrogram.win_length

@@ -149,8 +149,11 @@ def query_corpus(
     if bad:
         raise ValueError(
             f"query wav sample rate differs from the indexed corpus "
-            f"({sorted(corpus_rates)} Hz): {', '.join(bad)}; resample the "
-            "query first or set spectrogram.resample=auto"
+            f"({sorted(corpus_rates)} Hz): {', '.join(bad)}; re-run with "
+            "-s spectrogram.resample=auto (sound against any index whose "
+            "clips are already at the analysis rate — resample is excluded "
+            "from the feature fingerprint and drift is caught dynamically) "
+            "or resample the query wav yourself first"
         )
 
     # One shared linear-stage implementation with discover() — index reuse

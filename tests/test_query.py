@@ -187,14 +187,13 @@ def test_query_off_rate_wav_accepted_with_resample_auto(tmp_path):
     with pytest.raises(ValueError, match="resample"):
         query_corpus(out, [q32], cfg)          # default: rejected, with a hint
 
+    # Following the error's advice works DIRECTLY against the warn-built
+    # index: resample is excluded from the feature fingerprint (the corpus
+    # clips are already at the analysis rate, so its features are
+    # unchanged; the segment-table and spot-check guards would catch any
+    # actual drift), and only the query wav gets resampled.
     cfg.spectrogram.resample = "auto"
-    # The index was built without resampling; the fingerprint covers the
-    # resample knob, so querying with a different config must not pass
-    # silently — rebuild the index under the same config instead.
-    corpus = tmp_path / "corpus"
-    out2 = tmp_path / "out2"
-    result2 = discover(corpus, cfg, out_dir=out2)
-    report = query_corpus(out2, [q32], cfg)
+    report = query_corpus(out, [q32], cfg)
     assert report["n_query_segments"] >= 1
     hop, win = cfg.spectrogram.hop_length, cfg.spectrogram.win_length
     q = report["queries"][0]
@@ -203,7 +202,30 @@ def test_query_off_rate_wav_accepted_with_resample_auto(tmp_path):
     )
     hit = q["matches"][0]
     hit_motif = _motif_of(
-        truth, result2.segments[hit["segment"]].clip,
+        truth, result.segments[hit["segment"]].clip,
         hit["start_sample"], hit["end_sample"],
     )
     assert q_motif is not None and q_motif == hit_motif
+
+
+def test_fingerprint_forward_compatible_with_default_knobs():
+    """Default-valued knobs are dropped from the feature fingerprint, so
+    (a) adding a future knob with a behavior-preserving default cannot
+    invalidate existing indexes, and (b) the fingerprint still moves when
+    a feature-affecting knob actually changes."""
+    from audio_pattern_discovery_tpu.pipeline import _feature_fingerprint
+
+    base = _feature_fingerprint(_cfg(ae=False))
+    # resample is excluded entirely (dynamic guards cover it).
+    cfg = _cfg(ae=False)
+    cfg.spectrogram.resample = "auto"
+    assert _feature_fingerprint(cfg) == base
+    # A real feature knob changes the hash.
+    cfg = _cfg(ae=False)
+    cfg.spectrogram.feature = "mfcc"
+    assert _feature_fingerprint(cfg) != base
+    cfg = _cfg(ae=False)
+    cfg.spectrogram.n_mels = 32
+    # n_mels is feature-affecting only when a mel head is on, but it is
+    # hashed unconditionally (cheap and conservative).
+    assert _feature_fingerprint(cfg) != base
