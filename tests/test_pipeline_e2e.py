@@ -459,3 +459,34 @@ def test_features_export(tmp_path):
     np.testing.assert_array_equal(z["features"], res.seg_features)
     np.testing.assert_array_equal(z["lengths"], res.seg_lengths)
     np.testing.assert_array_equal(z["labels"], res.labels)
+
+
+def test_all_new_frontends_compose(tmp_path):
+    """Round-3 front-end options all at once: mixed-rate corpus +
+    resample=auto + MFCC features + PCA embedding still recovers the
+    planted motifs with high purity."""
+    from audio_pattern_discovery_tpu.io.resample import resample
+    from audio_pattern_discovery_tpu.io.wavio import read_wav, write_wav
+
+    src = tmp_path / "src"
+    truth = make_corpus(src, n_clips=8, n_motifs=2, occurrences_per_clip=2,
+                        clip_seconds=2.0, sample_rate=16_000, seed=13)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for j, p in enumerate(sorted(src.glob("*.wav"))):
+        x, r = read_wav(p)
+        if j % 2:
+            write_wav(corpus / p.name, resample(x, r, 32_000), 32_000)
+        else:
+            write_wav(corpus / p.name, x, r)
+
+    cfg = _small_config(ae=True)
+    cfg.spectrogram.resample = "auto"
+    cfg.spectrogram.feature = "mfcc"
+    cfg.spectrogram.n_mels = 32
+    cfg.spectrogram.n_mfcc = 13
+    cfg.autoencoder.method = "pca"
+    res = discover(corpus, cfg)
+    assert res.seg_features.shape[-1] == cfg.autoencoder.latent_dim
+    purity = _cluster_purity(res, truth)
+    assert purity >= 0.9, f"composed front-end purity {purity:.2f}"
