@@ -247,3 +247,31 @@ def test_feature_config_validation():
         PipelineConfig(
             spectrogram=SpectrogramConfig(feature="mel", fmin=9000.0, fmax=8000.0)
         ).validate()
+
+
+@pytest.mark.tpu
+def test_tpu_mfcc_head_compiled(rng):
+    """The fused mel/MFCC head compiles and matches the float64 oracle on
+    real hardware (the filterbank/DCT matmuls ride the MXU there, unlike
+    the CPU-suite runs)."""
+    sig = rng.normal(0, 0.3, 6000).astype(np.float32)
+    for feature in ("mel", "mfcc"):
+        feats, counts = batched_spectrogram(
+            sig[None],
+            np.array([len(sig)], np.int32),
+            win_length=NFFT,
+            hop_length=128,
+            sample_rate=SR,
+            feature=feature,
+            n_mels=40,
+            n_mfcc=13,
+        )
+        lin = stft_oracle(sig, win_length=NFFT, hop_length=128, log_scale=False)
+        ref = (
+            mel_oracle(lin, SR, NFFT, 40)
+            if feature == "mel"
+            else mfcc_oracle(lin, SR, NFFT, 40, 13)
+        )
+        np.testing.assert_allclose(
+            np.asarray(feats[0, : int(counts[0])]), ref, rtol=2e-3, atol=2e-3
+        )
