@@ -217,6 +217,10 @@ class OutputConfig:
     # padded + [K] lengths + [K] labels) for downstream analysis outside
     # the framework (plotting, external clustering, classifier training).
     write_features: bool = False
+    # labels/<clip>.txt: one Audacity label track per clip (tab-separated
+    # "start_s\tend_s\tclusterNNN" rows) — drop onto the recording in any
+    # standard audio editor to see the discovered patterns in place.
+    write_label_tracks: bool = True
 
 
 @dataclass

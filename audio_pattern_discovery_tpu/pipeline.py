@@ -941,6 +941,33 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
             lengths=result.seg_lengths,
             labels=result.labels,
         )
+    if cfg.output.write_label_tracks and result.clusters:
+        # Audacity label tracks: per-clip "start_s\tend_s\tclusterNNN" rows,
+        # importable by Audacity/Sonic Visualiser style editors to overlay
+        # the discovered patterns on the original recording.
+        lab_dir = out / "labels"
+        lab_dir.mkdir(exist_ok=True)
+        hop = cfg.spectrogram.hop_length
+        win = cfg.spectrogram.win_length
+        per_clip: dict[int, list[tuple[float, float, str]]] = {}
+        for rep in result.clusters:
+            for m in rep.members:
+                seg = result.segments[m]
+                sr = result.clips[seg.clip].sample_rate
+                per_clip.setdefault(seg.clip, []).append(
+                    (
+                        seg.start_frame * hop / sr,
+                        ((seg.end_frame - 1) * hop + win) / sr,
+                        f"cluster{rep.cluster_id:03d}",
+                    )
+                )
+        for ci, rows in per_clip.items():
+            stem = Path(result.clips[ci].path).stem
+            (lab_dir / f"{stem}.txt").write_text(
+                "".join(
+                    f"{s:.6f}\t{e:.6f}\t{lab}\n" for s, e, lab in sorted(rows)
+                )
+            )
     if cfg.output.write_images and result.clusters:
         from audio_pattern_discovery_tpu.io.images import write_cluster_images
 

@@ -490,3 +490,31 @@ def test_all_new_frontends_compose(tmp_path):
     assert res.seg_features.shape[-1] == cfg.autoencoder.latent_dim
     purity = _cluster_purity(res, truth)
     assert purity >= 0.9, f"composed front-end purity {purity:.2f}"
+
+
+def test_label_tracks_written(tmp_path):
+    """labels/<clip>.txt are Audacity-importable: sorted, tab-separated
+    start/end seconds within the clip, cluster names matching the manifest."""
+    corpus = tmp_path / "corpus"
+    make_corpus(corpus, n_clips=6, n_motifs=2, occurrences_per_clip=2,
+                clip_seconds=2.0, sample_rate=16_000, seed=6)
+    cfg = _small_config(ae=False)
+    cfg.output.write_images = False
+    cfg.output.write_html_report = False
+    cfg.output.write_snippets = False
+    out = tmp_path / "out"
+    res = discover(corpus, cfg, out_dir=out)
+    tracks = sorted((out / "labels").glob("*.txt"))
+    assert tracks, "no label tracks written"
+    n_rows = 0
+    for t in tracks:
+        prev_start = -1.0
+        for line in t.read_text().splitlines():
+            s, e, lab = line.split("\t")
+            s, e = float(s), float(e)
+            assert 0.0 <= s < e <= 2.0 + 0.1
+            assert s >= prev_start
+            prev_start = s
+            assert lab.startswith("cluster")
+            n_rows += 1
+    assert n_rows == sum(len(r.members) for r in res.clusters)
