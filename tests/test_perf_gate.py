@@ -23,6 +23,23 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _no_debug_nans():
+    """conftest enables jax_debug_nans suite-wide (the SS6.2 sanitizer) —
+    but it forces a device->host materialization of EVERY jitted output to
+    scan for NaNs, which for these gates times a download the production
+    pipeline never performs and serializes the pipelined dispatch windows
+    (measured: the spectrogram gate read 1.7-4.5k frames/s under the
+    sanitizer vs 50k for the identical path in bench.py, which runs
+    outside pytest).  Perf gates measure throughput, not numerics; the
+    parity tests keep the sanitizer."""
+    import jax
+
+    jax.config.update("jax_debug_nans", False)
+    yield
+    jax.config.update("jax_debug_nans", True)
+
+
 @pytest.mark.tpu
 def test_dtw_kernel_throughput_floor(rng):
     import jax.numpy as jnp
@@ -65,11 +82,24 @@ def test_spectrogram_throughput_floor(rng):
         for _ in range(8)
     ]
     scales = np.ones(len(sigs), np.float32)
-    spectrogram_corpus(sigs, cfg, scales=scales)  # compile + warm
+
+    def run():
+        # return_device=True is the production path (pipeline.py consumes
+        # spectrograms on-device; there is no [B, F, bins] download) and
+        # what bench.py measures.  Without it this gate times a ~21 MB
+        # host download per call that no real run performs — measured
+        # 4.5k frames/s in a session where the production path did 50k.
+        specs_dev, fc, _ = spectrogram_corpus(
+            sigs, cfg, scales=scales, return_device=True
+        )
+        np.asarray(specs_dev[:, -1, 0])  # honest sync barrier
+        return fc
+
+    run()  # compile + warm
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        _, fc, _ = spectrogram_corpus(sigs, cfg, scales=scales)
+        fc = run()
         best = max(best, int(fc.sum()) / (time.perf_counter() - t0))
     assert best >= floor, f"spectrogram {best:,.0f} frames/s < floor {floor:,.0f}"
 
