@@ -73,6 +73,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--top-k", type=int, default=10,
         help="matches per query segment for --query (default 10)",
     )
+    p.add_argument(
+        "--serve",
+        type=Path,
+        metavar="SOCKET",
+        help="run as a resident worker serving discover/update/query/doctor "
+        "requests over this Unix socket (newline-delimited JSON; see "
+        "serve.py).  Pays the backend handshake and executable activation "
+        "ONCE per process instead of per invocation — the production mode "
+        "for repeated queries or scheduled --update runs.  -c/-s set the "
+        "server's default config; requests may override per call.",
+    )
     p.add_argument("--dump-config", action="store_true", help="print config and exit")
     p.add_argument(
         "--doctor",
@@ -117,6 +128,23 @@ def main(argv: list[str] | None = None) -> int:
         from audio_pattern_discovery_tpu.utils.doctor import run_doctor
 
         print(json.dumps(run_doctor(), indent=2))
+        return 0
+    if args.serve:
+        if args.wav_dir is not None or args.update or args.query:
+            build_parser().error(
+                "--serve runs a resident worker; send discover/update/query "
+                "as requests on the socket instead of CLI arguments"
+            )
+        try:
+            cfg.validate()
+        except ValueError as e:
+            build_parser().error(str(e))
+        from audio_pattern_discovery_tpu.serve import serve
+
+        served = serve(
+            args.serve, cfg, logger=get_logger(json_lines=args.json_logs)
+        )
+        print(json.dumps({"served": served}))
         return 0
     if args.query:
         if args.update or args.wav_dir is not None:
