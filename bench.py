@@ -411,12 +411,17 @@ def main() -> int:
     else:
         vs_multi = tpu_pairs_per_sec / (cpu_pairs_per_sec * 32)
         multi_kind = "projected_32_cores_linear"
+    # 3 significant digits, not 2 decimals: the ratios span ~1e-4 (CPU
+    # fallback path, where the jnp scan is slower than the C++ core) to
+    # ~1e2 (TPU), and a fixed decimal rounding collapses the small end to
+    # a dishonest 0.0.
+    sig3 = lambda v: float(f"{v:.3g}")
     line = {
         "metric": "banded_dtw_pair_alignments_per_sec",
         "value": round(tpu_pairs_per_sec, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(vs_baseline, 2),
-        "vs_baseline_multicore": round(vs_multi, 2),
+        "vs_baseline": sig3(vs_baseline),
+        "vs_baseline_multicore": sig3(vs_multi),
         "multicore_baseline_kind": multi_kind,
     }
     if backend_note:
