@@ -266,16 +266,42 @@ def _encode_batch(model: AutoEncoder, params, x: jax.Array) -> jax.Array:
     return model.apply(params, x, method=AutoEncoder.encode)
 
 
+def _params_device_span(params):
+    """Union of devices the param leaves live on (after mesh training the
+    carried params come out placed over the whole mesh)."""
+    span: set = set()
+    for leaf in jax.tree_util.tree_leaves(params):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None:
+            span |= set(sh.device_set)
+    return span
+
+
 def encode_frames(
     model: AutoEncoder, params, frames: jax.Array, chunk: int = 1 << 16
 ) -> np.ndarray:
-    """Encode [N, dim] (or [..., dim]) frames -> latent [N, latent]."""
+    """Encode [N, dim] (or [..., dim]) frames -> latent [N, latent].
+
+    Works for any placement combination: after mesh training the params
+    are placed over the whole device mesh, while the frames may arrive
+    COMMITTED to a single device (e.g. the resident-corpus segment gather
+    runs on the data-primary device) — jit refuses mixed committed
+    placements, so each piece is replicated over the params' mesh first
+    (a broadcast jit would otherwise perform internally)."""
     lead = frames.shape[:-1]
     flat = jnp.reshape(frames, (-1, frames.shape[-1]))
     n = flat.shape[0]
     if n == 0:
         latent = model.latent_dim
         return np.zeros((*lead, latent), np.float32)
+    place = lambda piece: piece  # noqa: E731
+    span = _params_device_span(params)
+    if len(span) > 1:
+        mesh = jax.sharding.Mesh(
+            np.array(sorted(span, key=lambda d: d.id)), ("_rep",)
+        )
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        place = lambda piece: jax.device_put(piece, rep)  # noqa: E731
     outs = []
     for s in range(0, n, chunk):
         piece = flat[s : s + chunk]
@@ -283,7 +309,7 @@ def encode_frames(
         pad = (-piece.shape[0]) % min(4096, chunk)
         if pad:
             piece = jnp.pad(piece, ((0, pad), (0, 0)))
-        z = np.asarray(_encode_batch(model, params, piece))
+        z = np.asarray(_encode_batch(model, params, place(piece)))
         outs.append(z[: min(chunk, n - s)])
     z = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return z.reshape(*lead, -1).astype(np.float32)

@@ -412,6 +412,7 @@ def spectrogram_corpus(
     return_device: bool = False,
     scales=None,
     sig_lengths: np.ndarray | None = None,
+    devices: list | None = None,
 ) -> tuple[np.ndarray | jax.Array, np.ndarray, np.ndarray]:
     """Streaming corpus STFT with *fixed* device shapes (SURVEY.md SS8 P1).
 
@@ -428,6 +429,17 @@ def spectrogram_corpus(
     Tiles are hop-aligned with win-hop sample overlap, so the assembled
     frames are bit-identical to a single-shot batched_spectrogram call
     (tested in tests/test_spectrogram.py).
+
+    `devices`: optional list of jax devices to data-parallelize over —
+    clip GROUPS round-robin across them (each group's tiles stay on one
+    device so its spectrogram assembles without cross-device traffic),
+    and the device-resident result is collected onto devices[0], whose
+    HBM holds the resident corpus for the downstream segment gather.
+    Same program per device, so results are bit-identical to the
+    single-device path (tested); this is the config-5 "sharded across a
+    v5e-8 slice" story for the spectrogram stage — the DFT/filterbank
+    matmul compute scales with the device count while the assembly rides
+    ICI.  None (default) = current default-device behavior.
     """
     if not len(sigs):
         raise ValueError("empty corpus")
@@ -487,7 +499,13 @@ def spectrogram_corpus(
                     specs[g0_ + k, f0_ : f0_ + n] = out_np[k, :n]
                 energies[g0_ + k, f0_ : f0_ + n] = en_np[k, :n]
 
-    for g0 in range(0, B, clip_batch):
+    n_dev = len(devices) if devices else 0
+    for gi, g0 in enumerate(range(0, B, clip_batch)):
+        # Group -> device round-robin (no-op without `devices`): device_put
+        # commits the tile inputs, so the jitted tile program executes on
+        # the group's device and its outputs stay there until collection.
+        dev = devices[gi % n_dev] if n_dev else None
+        put = jnp.asarray if dev is None else (lambda x, d=dev: jax.device_put(x, d))
         group = sigs[g0 : g0 + clip_batch]
         g_frames = frames_per_clip[g0 : g0 + clip_batch]
         n_chunks = max(1, -(-int(g_frames.max()) // CF))
@@ -516,9 +534,9 @@ def spectrogram_corpus(
                     tile_sig[k, :take] = sig[s0 : s0 + take]
                 tile_len[k] = take
             out, fc, en = _spectrogram_energy_tile(
-                jnp.asarray(tile_sig),
-                jnp.asarray(tile_len),
-                scales=None if g_scales is None else jnp.asarray(g_scales),
+                put(tile_sig),
+                put(tile_len),
+                scales=None if g_scales is None else put(g_scales),
                 **_cfg_kwargs(cfg),
             )
             if return_device:
@@ -552,6 +570,14 @@ def spectrogram_corpus(
     while pending:
         collect_one()
     if return_device:
+        if n_dev > 1 and len(device_groups) > 1:
+            # Collect the round-robined groups onto the primary device
+            # (ICI transfer on real hardware): concatenating COMMITTED
+            # arrays living on different devices is an error, and the
+            # downstream segment gather wants one resident corpus anyway.
+            device_groups = [
+                jax.device_put(g, devices[0]) for g in device_groups
+            ]
         specs_dev = (
             jnp.concatenate(device_groups, axis=0)
             if len(device_groups) > 1

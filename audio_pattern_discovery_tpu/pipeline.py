@@ -260,6 +260,7 @@ def _prepare_corpus(
     stream: StreamingCorpus,
     counters: StageCounters,
     log,
+    devices=None,
 ):
     """Codec selection -> streaming spectrogram tiles -> energy
     segmentation -> per-segment frame extraction.
@@ -355,6 +356,11 @@ def _prepare_corpus(
             return_device=on_device,
             scales=scales,
             sig_lengths=stream.sample_lengths,
+            # Clip groups round-robin over the data-axis devices (DFT
+            # compute scales with the slice; bit-identical results — see
+            # spectrogram_corpus).  The resident corpus collects onto
+            # devices[0], whose HBM feeds the segment gather.
+            devices=devices,
         )
     # All clips have been pulled through the stream by now; the full list
     # backs snippet extraction and the result object.
@@ -568,7 +574,7 @@ def discover(
     # (one shared implementation with query.query_corpus — index reuse
     # depends on this derivation being identical; see _prepare_corpus)
     clips, frame_counts, segments, seg_frames, seg_frames_dev, seg_lengths = (
-        _prepare_corpus(cfg, stream, counters, log)
+        _prepare_corpus(cfg, stream, counters, log, devices=dtw_devices)
     )
     counters.add("frames", float(frame_counts.sum()))
     counters.add("segments", len(segments))

@@ -244,3 +244,50 @@ def test_tpu_compiled_dft_precision_vs_oracle(rng):
         assert nf == ref.shape[0]
         err = np.max(np.abs(np.asarray(spec[0, :nf]) - ref))
         assert err < tol, f"{prec}: max log10 err {err} >= {tol}"
+
+
+def test_corpus_multi_device_round_robin_bit_identical(rng):
+    """Clip-group round-robin over the virtual 8-device mesh == the
+    single-device path, bit for bit (same tile program per device), for
+    both the host and the device-resident collection paths, float32 and
+    int16(+scales) uploads.  This is the spectrogram stage's DP story for
+    BASELINE config 5 ("sharded across a v5e-8 slice")."""
+    import jax
+
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
+
+    devices = jax.devices()
+    assert len(devices) >= 2, "suite runs with 8 virtual devices"
+    cfg = SpectrogramConfig(win_length=64, hop_length=16)
+    sigs = [
+        rng.normal(0, 0.3, int(n)).astype(np.float32)
+        for n in rng.integers(200, 1500, 11)
+    ]
+    # clip_batch=2 -> 6 groups round-robining over 8 devices.
+    kw = dict(clip_batch=2, chunk_frames=10)
+    for return_device in (False, True):
+        one = spectrogram_corpus(sigs, cfg, return_device=return_device, **kw)
+        rr = spectrogram_corpus(
+            sigs, cfg, return_device=return_device, devices=devices, **kw
+        )
+        for a, b, name in zip(one, rr, ("specs", "frame_counts", "energies")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name
+            )
+        if return_device:
+            assert rr[0].devices() == {devices[0]}, (
+                "resident corpus must collect onto the primary device"
+            )
+
+    # int16 upload with device-side decode + per-clip normalization.
+    isigs = [
+        (np.clip(s, -1, 1) * 32767).astype(np.int16) for s in sigs
+    ]
+    scales = np.array(
+        [max(abs(s).max() / 32768.0, 1e-9) for s in isigs], np.float32
+    )
+    one = spectrogram_corpus(isigs, cfg, scales=scales, **kw)
+    rr = spectrogram_corpus(isigs, cfg, scales=scales, devices=devices, **kw)
+    for a, b in zip(one, rr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
