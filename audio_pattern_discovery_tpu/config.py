@@ -146,6 +146,12 @@ class AutoencoderConfig:
     # keeps reused distances valid).
     method: str = "ae"              # "ae" | "pca"
     pca_whiten: bool = True
+    # Temporal context: the embedder input for each frame is the (2k+1)-frame
+    # spectrogram SLICE centered on it (concatenated along the feature axis,
+    # edges clamped within the segment; ops/context.py).  0 = single frames
+    # (the default, prior behavior).  The DTW contract is unchanged — one
+    # latent per frame — the latent just sees local temporal structure.
+    context_frames: int = 0
     # Orbax checkpoint/resume (SURVEY.md SS6.4): with `checkpoint` on and an
     # out_dir given, the trained state+scaler persist under
     # out_dir/<checkpoint_dir>; an existing checkpoint is restored instead
@@ -337,6 +343,11 @@ class PipelineConfig:
         check(
             self.autoencoder.method in ("ae", "pca"),
             f"autoencoder.method={self.autoencoder.method!r}",
+        )
+        check(
+            self.autoencoder.context_frames >= 0,
+            f"autoencoder.context_frames={self.autoencoder.context_frames} "
+            "must be >= 0",
         )
         if self.autoencoder.enabled and self.autoencoder.method == "pca":
             check(

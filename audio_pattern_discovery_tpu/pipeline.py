@@ -590,6 +590,20 @@ def discover(
             raise ValueError(f"update_from: {e}") from None
 
     # ---- L3: embedding (device) -----------------------------------------
+    # Temporal context (autoencoder.context_frames): the embedder consumes
+    # (2k+1)-frame spectrogram SLICES instead of single frames — stacked on
+    # device from the resident segment tensor; seg_frames itself stays raw
+    # (it also feeds images/snippets).  ops/context.py for the boundary rule.
+    ctx = cfg.autoencoder.context_frames if cfg.autoencoder.enabled else 0
+    emb_frames_dev = seg_frames_dev
+    if ctx > 0:
+        from audio_pattern_discovery_tpu.ops.context import (
+            flat_context,
+            stack_context_device,
+        )
+
+        with counters.time_stage("context_stack"):
+            emb_frames_dev = stack_context_device(seg_frames_dev, seg_lengths, ctx)
     ae_losses: list[float] = []
     if cfg.autoencoder.enabled and cfg.autoencoder.method == "pca":
         # Linear PCA(-whitening) embedder: covariance on device, eigensolve
@@ -621,9 +635,12 @@ def discover(
                 ):
                     save_pca_checkpoint(ckpt_dir, pca_state, scaler)
             else:
-                flat = np.concatenate(
-                    [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
-                )
+                if ctx > 0:
+                    flat = flat_context(seg_frames, seg_lengths, ctx)
+                else:
+                    flat = np.concatenate(
+                        [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
+                    )
                 scaler = FeatureScaler.fit(flat)
                 pca_state = fit_pca(
                     scaler.transform(flat).astype(np.float32),
@@ -638,8 +655,8 @@ def discover(
                 if ckpt_dir is not None:
                     save_pca_checkpoint(ckpt_dir, pca_state, scaler)
         with counters.time_stage("embedding_encode"):
-            features = encode_pca(pca_state, scaler.transform(seg_frames_dev))
-        seg_frames_dev = None
+            features = encode_pca(pca_state, scaler.transform(emb_frames_dev))
+        seg_frames_dev = emb_frames_dev = None
     elif cfg.autoencoder.enabled:
         ckpt_dir = None
         if cfg.autoencoder.checkpoint and out_dir is not None:
@@ -659,6 +676,8 @@ def discover(
             # and at contract scale the concatenation is hundreds of MB of
             # dead host work on the one-core machine.
             def _flat() -> np.ndarray:
+                if ctx > 0:
+                    return flat_context(seg_frames, seg_lengths, ctx)
                 return np.concatenate(
                     [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
                 )
@@ -673,7 +692,9 @@ def discover(
 
                 if has_ae_checkpoint(restore_dir):
                     model, state, saved_scaler = restore_ae_checkpoint(
-                        restore_dir, cfg.autoencoder, seg_frames.shape[-1]
+                        restore_dir,
+                        cfg.autoencoder,
+                        seg_frames.shape[-1] * (2 * ctx + 1),
                     )
                     if update_state is not None and saved_scaler is None:
                         raise ValueError(
@@ -705,8 +726,8 @@ def discover(
         with counters.time_stage("autoencoder_encode"):
             # Standardize on device from the resident segment tensor — no
             # re-upload of [K, L, bins] (transform works on jax arrays).
-            features = encode_frames(model, state.params, scaler.transform(seg_frames_dev))
-        seg_frames_dev = None
+            features = encode_frames(model, state.params, scaler.transform(emb_frames_dev))
+        seg_frames_dev = emb_frames_dev = None
     else:
         features = seg_frames
     counters.add("feature_dim", features.shape[-1])

@@ -173,9 +173,22 @@ def query_corpus(
             "segmentation config or check the recording level"
         )
 
-    if cfg.autoencoder.enabled and cfg.autoencoder.method == "pca":
+    # Context stacking mirrors discover() exactly (ops/context.py): the
+    # fingerprint carries context_frames, so a context-built index is only
+    # ever queried with the same k.
+    ctx = cfg.autoencoder.context_frames if cfg.autoencoder.enabled else 0
+
+    def _emb_src():
         import jax.numpy as jnp
 
+        src = seg_frames_dev if seg_frames_dev is not None else jnp.asarray(seg_frames)
+        if ctx > 0:
+            from audio_pattern_discovery_tpu.ops.context import stack_context_device
+
+            src = stack_context_device(src, seg_lengths, ctx)
+        return src
+
+    if cfg.autoencoder.enabled and cfg.autoencoder.method == "pca":
         from audio_pattern_discovery_tpu.models.pca import encode_pca
         from audio_pattern_discovery_tpu.utils.checkpoint import (
             restore_pca_checkpoint,
@@ -184,22 +197,18 @@ def query_corpus(
         pca_state, scaler = restore_pca_checkpoint(
             prior / cfg.autoencoder.checkpoint_dir
         )
-        src = seg_frames_dev if seg_frames_dev is not None else jnp.asarray(seg_frames)
-        features = encode_pca(pca_state, scaler.transform(src))
+        features = encode_pca(pca_state, scaler.transform(_emb_src()))
     elif cfg.autoencoder.enabled:
-        import jax.numpy as jnp
-
         model, ae_state, scaler = restore_ae_checkpoint(
             prior / cfg.autoencoder.checkpoint_dir,
             cfg.autoencoder,
-            seg_frames.shape[-1],
+            seg_frames.shape[-1] * (2 * ctx + 1),
         )
         if scaler is None:
             raise ValueError(
                 "query: the indexed checkpoint has no saved feature scaler"
             )
-        src = seg_frames_dev if seg_frames_dev is not None else jnp.asarray(seg_frames)
-        features = encode_frames(model, ae_state.params, scaler.transform(src))
+        features = encode_frames(model, ae_state.params, scaler.transform(_emb_src()))
     else:
         features = seg_frames
 
