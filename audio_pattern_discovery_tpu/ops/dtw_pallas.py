@@ -1039,3 +1039,400 @@ def dtw_batch_pallas(
     elif normalize != "none":
         raise ValueError(f"unknown normalize {normalize!r}")
     return dist
+
+
+# ---------------------------------------------------------------------------
+# All-pairs TILE-STRIPE kernel (round 3, long sequences).
+#
+# Why: past the square tile kernel's range (S > 256) banded pairs ride the
+# per-pair stripe kernel, which ships 2*(d+1)*S*4 bytes of GATHERED features
+# per pair — ~40 KB at S=512 — through a memory system measured at
+# ~9-15 GB/s (BASELINE.md round-3 probes).  At 92k pairs/s the stripe
+# kernel's wall is ~80% input DMA.  This kernel applies the square tile
+# kernel's fix to the banded long-sequence regime: a (ti x ti)-sequence
+# tile-pair program loads its 2*ti sequences once and computes ti*ti banded
+# pairs in VMEM (~500 B/pair at S=512), leaving only the DP + panel-skew
+# compute — the stripe formulation itself (shifted frame, seam absorption,
+# masked-shift scans) is _dtw_stripe_kernel's, proven per-pair.
+# ---------------------------------------------------------------------------
+
+
+def _dtw_tile_stripe_kernel(
+    ti_map_ref,  # scalar-prefetch [U] i32 (consumed by index_maps)
+    tj_map_ref,  # scalar-prefetch [U] i32
+    a_ref,       # [ti, da, S] f32 time-minor, channels (-2a | 1 | sqa)
+    b_ref,       # [ti, da, SP] f32 time-minor, (b | sqb | 1), prepadded
+    la_ref,      # [ti, 1] i32
+    lb_ref,      # [ti, 1] i32
+    out_ref,     # [1, ti, nv, sv] f32 (same store layout as the tile kernel)
+    cmat_ref,    # scratch [R, su, sv, W] f32 — per-subtile cost STRIPES
+    panel_ref,   # scratch [RB, sv, RBW] f32 — one Gram panel (all sv)
+    ex_ref,      # scratch [su, sv, W] i32 — extraction row per (pair, slot)
+    *,
+    su: int,
+    sv: int,
+    band: int,
+    auto_widen: bool,
+    metric: str,
+    rows: int,
+    width: int,
+    off: int,
+    padl: int,
+    scan_steps: int,
+    build_repeats: int,
+    dp_repeats: int,
+    unroll_rows: int,
+):
+    """One (ti x ti) tile-pair of band-limited DTWs in the stripe frame.
+
+    Stripe slot s of DP row i holds column j = i + s - off (off = wv_max+1
+    keeps slot 0 permanently +inf); see _dtw_stripe_kernel for the frame
+    algebra.  Contract (the tiled scheduler enforces both): `rows` >= every
+    A-tile length in the dispatch, and wv_max >= max(band, |la-lb|) for
+    every REAL pair — a pair whose widened band exceeds wv_max has its
+    extraction slot outside [0, W) and comes back +inf rather than wrong.
+
+    Build: per a-row u, panels of RB rows — one MXU Gram over the
+    [RB, RB+W] column window of ALL sv B-sequences, then the stripe
+    kernel's log2(RB)-step variable left-roll (row r by r) turns diagonals
+    into stripe rows for the whole [RB, sv, RB+W] panel at once.  Unlike
+    the per-pair stripe kernel, BOTH norms ride the Gram as channels
+    ((-2a|1|sqa).(b|sqb|1), the square tile kernel's augmentation): a
+    lane-sliced sqa row would need a lanes->sublanes relayout that Mosaic
+    rejects, and the fused dot needs no post-add at all.
+    """
+    del ti_map_ref, tj_map_ref
+    TI = a_ref.shape[0]
+    R = rows
+    W = width
+    RB = panel_ref.shape[0]
+    RBW = panel_ref.shape[2]
+    nv = TI // sv
+    n_sub = (TI // su) * nv
+    n_bits = max(1, (RB - 1).bit_length())
+
+    rloc = jax.lax.broadcasted_iota(jnp.int32, (RB, 1, 1), 0)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    lanes3 = jax.lax.broadcasted_iota(jnp.int32, (su, sv, W), 2)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (sv, W), 1)
+
+    def subtile(st, _):
+        u0 = (st // nv) * su
+        v0 = (st % nv) * sv
+        b_sub = b_ref[pl.ds(v0, sv)]                     # [sv, db, SP]
+        lb_sub = lb_ref[pl.ds(v0, sv)]                   # [sv, 1]
+
+        def build_u(u, _):
+            av = a_ref[u0 + u]                           # [da, S]
+            la_u = la_ref[u0 + u, 0]
+            if auto_widen:
+                wv = jnp.maximum(jnp.int32(band), jnp.abs(la_u - lb_sub))
+            else:
+                wv = jnp.broadcast_to(jnp.int32(band), lb_sub.shape)
+            band_ok = jnp.abs(s_iota - off) <= wv[None, :, :]  # [1, sv, W]
+
+            for i0 in range(0, R, RB):
+                rb = min(RB, R - i0)
+                # Column window for rows [i0, i0+rb): j in
+                # [i0-off, i0+RB-1-off+W-1]; b is prepadded by padl >= off
+                # on the left (non-negative static slice start) and by RBW
+                # on the right (RBW is RB+W rounded up to a lane-tile
+                # multiple — Mosaic rejects rolls on ragged lane dims; the
+                # extra columns are real prepad values that the roll never
+                # lands in [0, W)).
+                c0 = i0 + padl - off
+                g = jax.lax.dot_general(
+                    av[:, i0 : i0 + rb],                 # [da, rb]
+                    b_sub[:, :, c0 : c0 + RBW],          # [sv, da, RBW]
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,  # bf16-cancel guard
+                )                                        # [rb, sv, RBW]
+                panel_ref[pl.ds(0, rb)] = g
+                # Variable left-roll: row r by r (diagonals -> stripe rows);
+                # stale rows past rb roll along but are never read.
+                for t in range(n_bits):
+                    sh = 1 << t
+                    rolled = pltpu.roll(panel_ref[:], (RBW - sh) % RBW, axis=2)
+                    panel_ref[:] = jnp.where(
+                        (rloc & sh) != 0, rolled, panel_ref[:]
+                    )
+                stripe = panel_ref[pl.ds(0, rb), :, :W]  # [rb, sv, W]
+
+                i_abs = rloc[:rb] + i0                   # [rb, 1, 1]
+                j_abs = i_abs + s_iota - off
+                valid = (
+                    (j_abs >= 0)
+                    & (j_abs < lb_sub[None, :, :])
+                    & (i_abs < la_u)
+                    & band_ok
+                )
+                if metric == "cosine":
+                    cost = 1.0 - stripe
+                else:
+                    sq = jnp.maximum(stripe, 0.0)
+                    cost = jnp.sqrt(sq) if metric == "euclidean" else sq
+                cmat_ref[pl.ds(i0, rb), pl.ds(u, 1)] = (
+                    jnp.where(valid, cost, INF)[:, None]
+                )
+
+            ex_u = jnp.where(lanes2 == (lb_sub - la_u + off), la_u - 1, -1)
+            ex_ref[pl.ds(u, 1)] = ex_u[None]
+            return 0
+
+        # build_repeats/dp_repeats: the square tile kernel's TIMING PROBES
+        # (idempotent stage re-run N times; its cost is the N-slope).
+        if build_repeats == 1:
+            jax.lax.fori_loop(0, su, build_u, 0)
+        else:
+            jax.lax.fori_loop(
+                0, su * build_repeats, lambda k, _: build_u(k % su, _), 0
+            )
+
+        # Stripe DP over [su, sv, W] rows (masked-shift scans; see the NOTE
+        # in _dtw_rowscan_kernel for why the masked form is kept).
+        ex3 = ex_ref[:]
+
+        def row_step(i, c, prev, out):
+            # D[i-1, j] lives at slot s+1 of the previous stripe row.
+            up = jnp.where(
+                lanes3 < W - 1, pltpu.roll(prev, W - 1, axis=2), INF
+            )
+            e = c + jnp.minimum(prev, up)
+            ee, cc = e, c
+            for t in range(scan_steps):
+                sh = 1 << t
+                m = lanes3 >= sh
+                ee = jnp.where(
+                    m, jnp.minimum(ee, pltpu.roll(ee, sh, axis=2) + cc), ee
+                )
+                if t < scan_steps - 1:
+                    cc = jnp.where(m, cc + pltpu.roll(cc, sh, axis=2), cc)
+            return ee, jnp.where(i == ex3, ee, out)
+
+        # unroll_rows amortizes the fori_loop's fixed per-iteration cost
+        # (bounds/branch work + one dynamic-index cmat load per row) over
+        # UR rows: one [UR, su, sv, W] block load, UR statically-sliced
+        # dependent DP steps.  The recurrence stays strictly sequential —
+        # this buys overhead, not parallelism (swept on hardware; see
+        # BASELINE.md round-3 tile-stripe table).
+        UR = unroll_rows if R % unroll_rows == 0 else 1
+
+        def row_body(i0, carry):
+            prev, out = carry
+            blk = cmat_ref[pl.ds(i0 * UR, UR)]           # [UR, su, sv, W]
+            for k in range(UR):
+                prev, out = row_step(i0 * UR + k, blk[k], prev, out)
+            return prev, out
+
+        # Virtual D[-1,-1] = 0 sits at slot `off` of virtual row -1, which
+        # also covers cell (0, 0) — no i == 0 special case in this frame.
+        init = (
+            jnp.where(lanes3 == off, 0.0, jnp.full((su, sv, W), INF)),
+            jnp.full((su, sv, W), INF),
+        )
+        if dp_repeats == 1:
+            _, outp = jax.lax.fori_loop(0, R // UR, row_body, init)
+        else:
+            outp = jax.lax.fori_loop(
+                0, dp_repeats,
+                lambda r, _: jax.lax.fori_loop(0, R // UR, row_body, init)[1],
+                init[1],
+            )
+        vb = st % nv
+        out_ref[0, pl.ds(u0, su), pl.ds(vb, 1), :] = (
+            jnp.min(outp, axis=2)[:, None]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_sub, subtile, 0)
+
+
+def tile_stripe_geometry(
+    seq_len: int,
+    feat_dim: int | None,
+    width: int,
+    ti: int | None = None,
+) -> tuple[int, int, int] | None:
+    """(ti, su, sv) for the tile-stripe kernel, or None out of range.
+
+    Sized like tile_geometry but for the stripe scratch [S, su, sv, W]:
+    the input working set (two [ti, da, ~S] windows, double-buffered) and
+    the cost stripes must fit together under the lifted VMEM budget.  ti
+    shrinks with S to keep inputs bounded; sv rides the sublane dim and
+    su*sv scales the pairs each DP row op advances.  Only meaningful when
+    the stripe is narrower than the row — at W >= S the square tile kernel
+    (or per-pair routing) is the right tool, and the per-pair kernels own
+    S <= 256 outright (tile_geometry covers it with full-width rows).
+
+    `ti` pins the tile size: the tiled scheduler forms tiles ONCE from the
+    widest class's geometry, then sizes each narrower class's (su, sv) at
+    that same ti.
+    """
+    if width is None or width >= seq_len or seq_len > MAX_STRIPE_SEQ_LEN:
+        return None
+    if seq_len <= 256:
+        return None                      # square tile kernel territory
+    d = 8 if feat_dim is None else feat_dim
+    dap = 8 * -(-(d + 2) // 8)
+    S = 128 * -(-seq_len // 128)
+    padl = 128 * -(-(width // 2 + 1) // 128)
+    RB = min(32, S)                      # dtw_tile_stripe_pairs default
+    RBW = 128 * -(-(RB + width) // 128)
+    SP = padl + S + RBW
+    # Preference order swept on hardware at S=512 (BASELINE.md round-3
+    # tile-stripe table): su*sv (the DP row-op batch) dominates — ti=64
+    # su*sv=256 beat ti=128 su*sv=128 by 1.35x — so search (su, sv) in
+    # descending su*sv OUTER and take the largest fitting ti; at equal
+    # su*sv, (16,16) beat (8,32)/(4,32) and larger ti won slightly.
+    for su, sv in ((16, 16), (8, 32), (8, 16), (16, 8), (8, 8), (4, 8),
+                   (2, 8), (1, 8)):
+        for t in (128, 64, 32) if ti is None else (ti,):
+            if su > t or sv > t:
+                continue
+            # two pipeline levels of (a + b) input blocks
+            inputs = 2 * t * dap * (S + SP) * 4
+            if inputs > 56 * 1024 * 1024:
+                continue
+            cmat = S * su * sv * width * 4
+            panel = RB * sv * RBW * 4
+            # 96 MiB against the 100 MiB Mosaic limit: the margin covers
+            # ex_ref + compiler temporaries; the (64,16,16)@S=512 winner
+            # (95.1 MB by this accounting) ran on hardware under it.
+            if inputs + cmat + panel <= 96 * 1024 * 1024:
+                return t, su, sv
+    return None
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ti", "su", "sv", "band", "auto_widen", "metric",
+                     "rows", "wv_max", "panel_rows", "build_repeats",
+                     "dp_repeats", "unroll_rows", "interpret"),
+)
+def dtw_tile_stripe_pairs(
+    feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
+    lengths,      # [K] i32 (pad entries: length 1)
+    ti_idx,       # [U] i32 tile-row indices (units of ti sequences)
+    tj_idx,       # [U] i32 tile-col indices
+    *,
+    ti: int,
+    su: int,
+    sv: int,
+    band: int,
+    wv_max: int,
+    auto_widen: bool = True,
+    metric: str = "euclidean",
+    rows: int | None = None,
+    panel_rows: int = 32,
+    build_repeats: int = 1,
+    dp_repeats: int = 1,
+    unroll_rows: int = 4,
+    interpret: bool = False,
+):
+    """Banded DTW distances for U tile-pairs -> [U, ti, ti] blocks.
+
+    The long-sequence (S > 256) counterpart of dtw_tile_pairs: same block
+    layout, same scalar-prefetch corpus indexing, same UNNORMALIZED output
+    contract — but cost and DP live in the O(R*W) stripe frame, so banded
+    pairs stay on a Mosaic fast path to MAX_STRIPE_SEQ_LEN with tile-level
+    input reuse.  `wv_max` is the STATIC bound on max(band, |la-lb|) over
+    the dispatch's real pairs (the tiled scheduler derives it from sorted-
+    tile length ranges); it sets the stripe width, the shift `off`, the
+    banded scan depth, and each pair's extraction slot.  A bound below a
+    pair's true widened half-width yields +inf for that pair (out-of-frame
+    extraction), never a silently-truncated distance.
+    """
+    import chex
+
+    chex.assert_rank(feats, 3)
+    chex.assert_rank([lengths, ti_idx, tj_idx], 1)
+    K, S, d = feats.shape
+    if K % ti:
+        raise ValueError(f"K={K} must be padded to a multiple of ti={ti}")
+    if band is None:
+        raise ValueError("tile-stripe kernel requires a band")
+    wv_max = max(int(band), int(wv_max))
+    off = wv_max + 1
+    W = 128 * -(-(2 * wv_max + 2) // 128)
+    # Panel rows: the variable-roll skew moves n_bits(RB) * (RB+W) lanes
+    # per W useful stripe lanes, so SMALL panels cut the build's dominant
+    # roll traffic superlinearly (RB=128: 7*(RB+W)/W = 21 rolled lanes per
+    # stripe lane; RB=32: 5*160/128 = 6.3) at the cost of more, smaller
+    # MXU dots.  Swept on hardware (tools/kernel_tile_diag.py --stripe).
+    RB = min(panel_rows, S)
+    RBW = 128 * -(-(RB + W) // 128)
+    padl = 128 * -(-off // 128)
+    padr = RBW
+    SP = padl + S + padr
+    scan_steps = int(max(1, (2 * wv_max).bit_length()))
+    rows = S if rows is None else min(rows, S)
+
+    f32 = feats.astype(jnp.float32)
+    if metric == "cosine":
+        f32 = f32 / jnp.maximum(
+            jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12
+        )
+        a_aug = jnp.transpose(f32, (0, 2, 1))            # [K, d, S]
+        b_aug = a_aug
+    else:
+        sqa = jnp.sum(f32 * f32, axis=2)                 # [K, S]
+        # Full squared distance in ONE dot (the square tile kernel's
+        # augmentation): (-2a | 1 | sqa) . (b | sqb | 1) = sqa+sqb-2ab.
+        ones = jnp.ones((K, 1, S))
+        a_aug = jnp.concatenate(
+            [jnp.transpose(-2.0 * f32, (0, 2, 1)), ones, sqa[:, None, :]],
+            axis=1,
+        )                                                # [K, d+2, S]
+        b_aug = jnp.concatenate(
+            [jnp.transpose(f32, (0, 2, 1)), sqa[:, None, :], ones], axis=1
+        )
+    b_aug = jnp.pad(b_aug, ((0, 0), (0, 0), (padl, padr)))
+    da = a_aug.shape[1]
+    la2 = lengths.astype(jnp.int32)[:, None]
+    U = ti_idx.shape[0]
+    nv = ti // sv
+
+    kernel = partial(
+        _dtw_tile_stripe_kernel, su=su, sv=sv, band=int(band),
+        auto_widen=auto_widen, metric=metric, rows=rows, width=W,
+        off=off, padl=padl, scan_steps=scan_steps,
+        build_repeats=build_repeats, dp_repeats=dp_repeats,
+        unroll_rows=unroll_rows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(U,),
+        in_specs=[
+            pl.BlockSpec((ti, da, S), lambda u, im, jm: (im[u], 0, 0)),
+            pl.BlockSpec((ti, da, SP), lambda u, im, jm: (jm[u], 0, 0)),
+            pl.BlockSpec((ti, 1), lambda u, im, jm: (im[u], 0)),
+            pl.BlockSpec((ti, 1), lambda u, im, jm: (jm[u], 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ti, nv, sv), lambda u, im, jm: (u, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, su, sv, W), jnp.float32),
+            pltpu.VMEM((RB, sv, RBW), jnp.float32),
+            pltpu.VMEM((su, sv, W), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=jax.ShapeDtypeStruct((U, ti, nv, sv), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * U * ti * ti * rows * (RB + W) * da // RB
+            + 10 * U * ti * ti * rows * W * scan_steps // (su * sv),
+            bytes_accessed=U * ti * da * (S + SP) * 4 + U * ti * ti * 4,
+            transcendentals=U * ti * ti * rows * W
+            if metric == "euclidean" else 0,
+        ),
+        interpret=interpret,
+    )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
+      a_aug, b_aug, la2, la2)
+    return out.reshape(U, ti, ti)

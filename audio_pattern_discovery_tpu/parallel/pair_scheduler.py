@@ -35,9 +35,11 @@ from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     MAX_KERNEL_SEQ_LEN,
     dtw_batch_pallas,
     dtw_tile_pairs,
+    dtw_tile_stripe_pairs,
     pallas_supported,
     scan_len_diff_classes,
     tile_geometry,
+    tile_stripe_geometry,
 )
 
 
@@ -345,6 +347,80 @@ def make_tile_pair_class_fn(
     return pair_class
 
 
+def _wv_width(wv: int) -> int:
+    """Stripe width (128-multiple) covering band half-widths <= wv."""
+    return 128 * -(-(2 * int(wv) + 2) // 128)
+
+
+def _wv_level(wv_req: int) -> int:
+    """Quantize a required half-width UP to its stripe-width class level
+    (the largest wv the class's W covers: 63, 127, 191, ...) so the class
+    key round-trips to one compiled stripe shape per width."""
+    return 64 * (_wv_width(wv_req) // 128) - 1
+
+
+def _stripe_route(
+    L: int, d: int, lengths: np.ndarray, cfg: DTWConfig,
+) -> tuple[int, int, int] | None:
+    """Geometry of the WIDEST stripe class if the whole job can ride the
+    tile-stripe kernel (banded long sequences, S > 256), else None.
+
+    The gate uses the corpus-global widened half-width over REAL lengths:
+    every tile-pair's class is narrower, and narrower W always fits at the
+    same ti, so gating on the widest class guarantees per-class geometry.
+    """
+    if cfg.band is None or not len(lengths):
+        return None
+    Lp = 128 * -(-L // 128)
+    wv = int(cfg.band)
+    if cfg.auto_widen_band:
+        wv = max(wv, int(lengths.max()) - int(lengths.min()))
+    return tile_stripe_geometry(Lp, d, _wv_width(min(wv, Lp)))
+
+
+def make_tile_stripe_class_fn(
+    lens_sorted: np.ndarray,   # [nT*ti] lengths in tile order (pad: 1)
+    nT: int,
+    ti: int,
+    Lp: int,
+    band: int,
+    auto_widen: bool,
+    n_real: int,
+) -> Callable[[int, int], tuple[int, int]]:
+    """(I, J) tile-pair -> (rows_cls, wv_cls) for the tile-stripe kernel.
+
+    Like make_tile_pair_class_fn, but the banded scan depth is implied by
+    the class's static wv bound (dtw_tile_stripe_pairs derives W, off, and
+    scan depth from wv_max), so the second key is the quantized stripe
+    half-width.  Tile ranges are taken over REAL entries only (`n_real`):
+    pad sequences (length 1, trailing positions) would inflate the last
+    tile's spread to ~Lp and push its classes off the stripe entirely,
+    yet pad pairs' outputs are never scattered — the +inf they produce
+    out-of-frame is discarded with the rest of the pad rows/cols.
+    """
+    tmin = np.empty(nT, np.int64)
+    tmax = np.empty(nT, np.int64)
+    for t in range(nT):
+        real = lens_sorted[t * ti : min((t + 1) * ti, n_real)]
+        if len(real) == 0:              # all-pad tile (cannot happen: the
+            real = lens_sorted[t * ti : (t + 1) * ti]   # pad count is < ti)
+        tmin[t], tmax[t] = real.min(), real.max()
+    rq = max(16, Lp // 8)
+
+    def pair_class(i: int, j: int) -> tuple[int, int]:
+        rows_cls = min(Lp, rq * -(-int(tmax[i]) // rq))
+        wv_req = int(band)
+        if auto_widen:
+            wv_req = max(
+                wv_req,
+                int(tmax[j]) - int(tmin[i]),
+                int(tmax[i]) - int(tmin[j]),
+            )
+        return rows_cls, _wv_level(min(wv_req, Lp))
+
+    return pair_class
+
+
 def _merge_thin_classes(
     by_class: dict[tuple[int, int], list],
     min_programs: int = 16,
@@ -421,6 +497,7 @@ def all_pairs_distances_tiled(
     interpret: bool = False,
     geometry: tuple[int, int, int] | None = None,
     known: tuple[int, np.ndarray] | None = None,
+    stripe: bool | None = None,
 ) -> np.ndarray:
     """Symmetric [K, K] DTW matrix via the all-pairs TILE kernel.
 
@@ -453,8 +530,19 @@ def all_pairs_distances_tiled(
     # make pad frames free, and DP rows stay bounded by true lengths.
     # (A test-provided geometry override keeps L as-is for interpret runs.)
     Lp = L if geometry is not None else 128 * -(-L // 128)
-    geom = geometry or tile_geometry(Lp, d)
-    assert geom is not None, f"tile kernel out of range for L={L}, d={d}"
+    if stripe is None:
+        # Auto-route: the square tile kernel where it applies (S <= 256),
+        # else the banded TILE-STRIPE kernel for long sequences.
+        stripe = (geometry or tile_geometry(Lp, d)) is None
+    if geometry is not None:
+        geom = geometry
+    elif stripe:
+        geom = _stripe_route(L, d, lengths, cfg)
+    else:
+        geom = tile_geometry(Lp, d)
+    assert geom is not None, (
+        f"tile kernels out of range for L={L}, d={d}, band={cfg.band}"
+    )
     ti, su, sv = geom
 
     Kp = -(-K // ti) * ti
@@ -530,9 +618,14 @@ def all_pairs_distances_tiled(
         np.asarray(fd[0, 0, 0])
     upload_s = time.perf_counter() - t_up
 
-    pair_class = make_tile_pair_class_fn(
-        lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band
-    )
+    if stripe:
+        pair_class = make_tile_stripe_class_fn(
+            lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band, K
+        )
+    else:
+        pair_class = make_tile_pair_class_fn(
+            lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band
+        )
 
     pairs_list = [(i, j) for i in range(nT) for j in range(i, nT)]
     n_all_pairs = K * (K - 1) // 2
@@ -551,13 +644,16 @@ def all_pairs_distances_tiled(
     stats.update(
         dispatch_s=0.0, collect_s=0.0, scatter_s=0.0, persist_s=0.0,
         enumerate_s=0.0, blocks=0, pad_pairs=0, pairs=n_all_pairs,
-        tiled=True, tile_programs=len(pairs_list), upload_s=upload_s,
+        tiled=True, stripe=bool(stripe), tile_programs=len(pairs_list),
+        upload_s=upload_s,
     )
 
     if block_dir is not None:
         block_dir = Path(block_dir)
         block_dir.mkdir(parents=True, exist_ok=True)
-        cfg_tag = _cfg_tag(cfg, features, lengths) + b"|tiled"
+        cfg_tag = _cfg_tag(cfg, features, lengths) + (
+            b"|tiledstripe" if stripe else b"|tiled"
+        )
 
     # Group tile-pairs by (rows, scan) class, then pad each class's tail
     # chunk UP to the next power of two (not the full chunk size: a 6-pair
@@ -689,16 +785,40 @@ def all_pairs_distances_tiled(
                 continue
         di = ci % len(devices)
 
-        def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
-                     scan_cls=scan_cls):
-            return dtw_tile_pairs(
-                feats_dev[di], lens_dev[di],
-                jnp.asarray(ii), jnp.asarray(jj),
-                ti=ti, su=su, sv=sv,
-                band=cfg.band, auto_widen=cfg.auto_widen_band,
-                metric=cfg.metric, rows=rows_cls, scan_steps=scan_cls,
-                interpret=interpret,
-            )
+        if stripe:
+            # Per-class geometry at the job's fixed ti: narrower classes
+            # always fit where the widest (gating) class did, and a test
+            # geometry override applies to every class.
+            if geometry is not None:
+                su_c, sv_c = su, sv
+            else:
+                g_c = tile_stripe_geometry(
+                    Lp, d, _wv_width(scan_cls), ti=ti
+                )
+                assert g_c is not None, (Lp, d, scan_cls, ti)
+                su_c, sv_c = g_c[1], g_c[2]
+
+            def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                         wv_cls=scan_cls, su_c=su_c, sv_c=sv_c):
+                return dtw_tile_stripe_pairs(
+                    feats_dev[di], lens_dev[di],
+                    jnp.asarray(ii), jnp.asarray(jj),
+                    ti=ti, su=su_c, sv=sv_c,
+                    band=cfg.band, auto_widen=cfg.auto_widen_band,
+                    metric=cfg.metric, rows=rows_cls, wv_max=wv_cls,
+                    interpret=interpret,
+                )
+        else:
+            def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                         scan_cls=scan_cls):
+                return dtw_tile_pairs(
+                    feats_dev[di], lens_dev[di],
+                    jnp.asarray(ii), jnp.asarray(jj),
+                    ti=ti, su=su, sv=sv,
+                    band=cfg.band, auto_widen=cfg.auto_widen_band,
+                    metric=cfg.metric, rows=rows_cls, scan_steps=scan_cls,
+                    interpret=interpret,
+                )
 
         t0 = time.perf_counter()
         try:
@@ -757,18 +877,24 @@ def all_pairs_distances(
                 f"or k_old {k_old} out of range for K={K}"
             )
 
-    # Round-3 fast path: the all-pairs TILE kernel whenever it applies
-    # (TPU, pallas on, padded length in the tile range).  `tiled` forces
-    # the choice either way (tests exercise the tile path in interpret
-    # mode on CPU).  bfloat16 matmul_dtype keeps the legacy path: the tile
-    # kernel is HIGHEST-only by design.
+    # Round-3 fast path: the all-pairs TILE kernels whenever one applies —
+    # the square tile kernel for S <= 256, the banded TILE-STRIPE kernel
+    # for longer sequences whose corpus-wide widened band fits a stripe
+    # (both kill the per-pair gather traffic that bounds this device).
+    # `tiled` forces the choice either way (tests exercise the tile paths
+    # in interpret mode on CPU).  bfloat16 matmul_dtype keeps the legacy
+    # path: the tile kernels are HIGHEST-only by design.
     if tiled is None:
         tiled = bool(
             cfg.use_pallas
             and _on_tpu()
-            and tile_geometry(L, features.shape[2]) is not None
             and matmul_dtype is None
             and cfg.dtype != "bfloat16"
+            and (
+                tile_geometry(L, features.shape[2]) is not None
+                or _stripe_route(L, features.shape[2], lengths, cfg)
+                is not None
+            )
         )
     if tiled:
         return all_pairs_distances_tiled(

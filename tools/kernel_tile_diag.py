@@ -13,7 +13,10 @@ L=256 and the 128-multiple lane requirement were hardware-verified here.
 Usage: python tools/kernel_tile_diag.py [--ti 128] [--su 8] [--sv 64]
            [--seqlen 128] [--ddmax 16] [--ntiles 8] [--rows N]
            [--scan-steps N] [--check-only]
-One TPU process at a time (CLAUDE.md).
+--stripe drives the long-sequence TILE-STRIPE kernel instead
+(ops/dtw_pallas.dtw_tile_stripe_pairs; wv_max = max(BAND, ddmax)) and also
+times the per-pair stripe path on the same pairs for the amortization
+ratio.  One TPU process at a time (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -61,6 +64,26 @@ def main() -> int:
                          "masks once per subtile instead of per DP row")
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--check-pairs", type=int, default=512)
+    ap.add_argument("--stripe", action="store_true",
+                    help="drive the long-sequence tile-stripe kernel "
+                         "(banded, S > 256) and the per-pair stripe "
+                         "baseline on the same pairs")
+    ap.add_argument("--no-baseline", action="store_true",
+                    help="with --stripe: skip the per-pair baseline timing")
+    ap.add_argument("--panel-rows", type=int, default=32,
+                    help="with --stripe: Gram panel rows (the skew's roll "
+                         "traffic scales with log2(RB)*(RB+W))")
+    ap.add_argument("--unroll-rows", type=int, default=4,
+                    help="with --stripe: DP rows per fori_loop iteration")
+    ap.add_argument("--sweep", default=None,
+                    help="with --stripe: 'su,sv,rb[,ti[,ur]];...' configs "
+                         "timed in THIS process (one tunnel handshake for "
+                         "the whole sweep); parity-checks the first config "
+                         "only")
+    ap.add_argument("--repeats", default=None,
+                    help="with --stripe: 'build,dp;...' repeat-slope probes "
+                         "at the main geometry (cost of a stage = its "
+                         "N-slope), e.g. '1,1;3,1;1,3'")
     args = ap.parse_args()
 
     import os
@@ -75,6 +98,7 @@ def main() -> int:
     from audio_pattern_discovery_tpu.ops.dtw_pallas import (
         dtw_batch_pallas,
         dtw_tile_pairs,
+        dtw_tile_stripe_pairs,
     )
 
     dev = jax.devices()[0]
@@ -105,14 +129,24 @@ def main() -> int:
     ii = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
     jj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
 
-    def run():
-        return dtw_tile_pairs(
-            feats, lengths, ii, jj, ti=args.ti, su=args.su, sv=args.sv,
-            band=BAND, rows=args.rows, scan_steps=args.scan_steps,
-            gram_precision=args.precision, cmat_dtype=args.cmat_dtype,
-            build_repeats=args.build_repeats, dp_repeats=args.dp_repeats,
-            hoist_masks=args.hoist_masks,
-            interpret=not on_tpu)
+    wv_max = max(BAND, args.ddmax)
+
+    if args.stripe:
+        def run():
+            return dtw_tile_stripe_pairs(
+                feats, lengths, ii, jj, ti=args.ti, su=args.su, sv=args.sv,
+                band=BAND, wv_max=wv_max, rows=args.rows,
+                panel_rows=args.panel_rows, unroll_rows=args.unroll_rows,
+                interpret=not on_tpu)
+    else:
+        def run():
+            return dtw_tile_pairs(
+                feats, lengths, ii, jj, ti=args.ti, su=args.su, sv=args.sv,
+                band=BAND, rows=args.rows, scan_steps=args.scan_steps,
+                gram_precision=args.precision, cmat_dtype=args.cmat_dtype,
+                build_repeats=args.build_repeats, dp_repeats=args.dp_repeats,
+                hoist_masks=args.hoist_masks,
+                interpret=not on_tpu)
 
     t0 = time.perf_counter()
     blocks = np.asarray(run())
@@ -147,7 +181,87 @@ def main() -> int:
         for o in outs:
             np.asarray(o)
         best = max(best, n_pairs * ITERS / (time.perf_counter() - t0))
-    log(f"RESULT tile: {best:,.0f} pairs/s over {n_pairs} pairs/dispatch")
+    kind = "tile-stripe" if args.stripe else "tile"
+    log(f"RESULT {kind}: {best:,.0f} pairs/s over {n_pairs} pairs/dispatch")
+
+    if args.stripe and not args.no_baseline:
+        # Per-pair stripe baseline on ONE tile-pair's worth of gathered
+        # pairs (the full 64-program pair set would gather gigabytes).
+        bi = np.repeat(np.arange(args.ti), args.ti) + pairs[0][0] * args.ti
+        bj = np.tile(np.arange(args.ti), args.ti) + pairs[0][1] * args.ti
+        nb = len(bi)
+
+        def run_pp():
+            return dtw_batch_pallas(
+                feats[bi], feats[bj], lengths[bi], lengths[bj],
+                band=BAND, max_len_diff=args.ddmax, interpret=not on_tpu)
+
+        np.asarray(run_pp())
+        best_pp = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [run_pp() for _ in range(2)]
+            for o in outs:
+                np.asarray(o)
+            best_pp = max(best_pp, nb * 2 / (time.perf_counter() - t0))
+        log(f"RESULT per-pair stripe baseline: {best_pp:,.0f} pairs/s "
+            f"({nb} gathered pairs/dispatch); tile-stripe/per-pair = "
+            f"{best / max(best_pp, 1e-9):.2f}x")
+
+    def time_cfg(fn, n, reps=2, iters=3):
+        np.asarray(fn())                      # warm/compile
+        b = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(iters)]
+            for o in outs:
+                np.asarray(o)
+            b = max(b, n * iters / (time.perf_counter() - t0))
+        return b
+
+    if args.stripe and args.sweep:
+        for spec in args.sweep.split(";"):
+            parts = [int(x) for x in spec.split(",")]
+            su_s, sv_s, rb_s = parts[:3]
+            ti_s = parts[3] if len(parts) > 3 else args.ti
+            ur_s = parts[4] if len(parts) > 4 else args.unroll_rows
+            nT_s = K // ti_s
+            ap_s = [(i, j) for i in range(nT_s) for j in range(i + 1, nT_s)]
+            st_s = max(1, len(ap_s) // 64)
+            ps = ap_s[::st_s][:64]
+            ii_s = jnp.asarray(np.array([p[0] for p in ps], np.int32))
+            jj_s = jnp.asarray(np.array([p[1] for p in ps], np.int32))
+
+            def run_s(su_s=su_s, sv_s=sv_s, rb_s=rb_s, ti_s=ti_s,
+                      ur_s=ur_s, ii_s=ii_s, jj_s=jj_s):
+                return dtw_tile_stripe_pairs(
+                    feats, lengths, ii_s, jj_s, ti=ti_s, su=su_s, sv=sv_s,
+                    band=BAND, wv_max=wv_max, rows=args.rows,
+                    panel_rows=rb_s, unroll_rows=ur_s,
+                    interpret=not on_tpu)
+
+            try:
+                r = time_cfg(run_s, len(ps) * ti_s * ti_s)
+                log(f"SWEEP ti={ti_s} su={su_s} sv={sv_s} RB={rb_s} "
+                    f"UR={ur_s}: {r:,.0f} pairs/s")
+            except Exception as e:  # noqa: BLE001 — sweep survives a cfg
+                log(f"SWEEP ti={ti_s} su={su_s} sv={sv_s} RB={rb_s} "
+                    f"UR={ur_s}: FAILED {type(e).__name__}: {str(e)[:200]}")
+
+    if args.stripe and args.repeats:
+        for spec in args.repeats.split(";"):
+            br, dr = (int(x) for x in spec.split(","))
+
+            def run_r(br=br, dr=dr):
+                return dtw_tile_stripe_pairs(
+                    feats, lengths, ii, jj, ti=args.ti, su=args.su,
+                    sv=args.sv, band=BAND, wv_max=wv_max, rows=args.rows,
+                    panel_rows=args.panel_rows, build_repeats=br,
+                    dp_repeats=dr, interpret=not on_tpu)
+
+            r = time_cfg(run_r, n_pairs)
+            log(f"REPEATS build={br} dp={dr}: {r:,.0f} pairs/s "
+                f"({n_pairs / r * 1e3:.1f} ms/dispatch)")
     return 0 if ok else 1
 
 
