@@ -1436,3 +1436,278 @@ def dtw_tile_stripe_pairs(
     )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
       a_aug, b_aug, la2, la2)
     return out.reshape(U, ti, ti)
+
+
+# ---------------------------------------------------------------------------
+# All-pairs LANE-PACKED tile kernel (round 3): pairs on LANES, stripe on
+# SUBLANES.
+#
+# Why: the tile-stripe kernel above is fully compute-bound (BASELINE.md
+# round-3 repeat-slope probes: build 38% + DP 61%), and its stripe rides
+# the 128-lane minimum while only 2*wv+1 <= 33 lanes are live at band=16 —
+# ~4x of every DP vector op is wasted, with su*sv pairs on sublanes.  This
+# kernel FLIPS the layout: each [W_s, ti] row op advances ti pairs (one
+# A-row against the whole B tile, pairs on lanes) with the stripe on
+# sublanes at its natural 8-granular width (W_s = 8-mult >= 2*wv+2, e.g.
+# 40 instead of 128).  Elements per pair-row drop 128 -> ~40-57 and the
+# Gram/skew machinery disappears: costs are built per DP row as d+1
+# scalar-vector FMAs (the A-row lives in SMEM, so a[c, i] is a native
+# scalar read; B is VMEM-resident in time-on-sublanes layout), which also
+# keeps the build in plain f32 VPU FMAs — no MXU pass, so no bf16
+# multi-pass precision knob needed (the channel-trick |a|^2+|b|^2-2ab
+# cancellation residue near zero remains, as in every tile kernel).
+# VMEM drops from ~95 MB (cmat) to ~6 MB (one B tile + carries).
+# ---------------------------------------------------------------------------
+
+
+def lane_geometry(
+    seq_len: int,
+    feat_dim: int | None,
+    width: int | None,
+) -> int | None:
+    """Tile size (always 128: the lane dim) for the lane-packed kernel, or
+    None when the shape is out of range.  `width` is the 8-granular stripe
+    sublane width W_s covering the job's WIDEST class.  Bounds:
+
+    * the B tile [d+1, SPs, 128] must leave room for double-buffering
+      under the 100 MiB Mosaic budget;
+    * the per-row A block [1, d+1, S] lives in SMEM — 280 KB measured
+      working on the v5e at S=4096, d=16 (tools/kernel_tile_diag.py
+      --lane --seqlen 4096); the 320 KB cap keeps a margin below that
+      hardware-verified point rather than guessing at the true limit.
+
+    Unlike the stripe kernel there is no narrower-than-row requirement:
+    the frame algebra holds for any W_s, and the kernel beats the square
+    tile kernel even at S=128 (BASELINE.md round-3 lane table).
+    """
+    if width is None or seq_len > MAX_STRIPE_SEQ_LEN:
+        return None
+    d = 8 if feat_dim is None else feat_dim
+    S = 128 * -(-seq_len // 128)
+    if (d + 1) * S * 4 > 320 * 1024:
+        return None
+    off_max = width // 2
+    padl = 8 * -(-off_max // 8)
+    SPs = padl + S + width
+    if 2 * (d + 1) * SPs * 128 * 4 > 80 * 1024 * 1024:
+        return None
+    return 128
+
+
+def _dtw_lane_kernel(
+    ti_map_ref,  # scalar-prefetch [U] i32
+    tj_map_ref,  # scalar-prefetch [U] i32
+    lens_ref,    # scalar-prefetch [K] i32 (whole corpus lengths, SMEM)
+    a_ref,       # SMEM [1, d+1, S] f32: channels (-2a | sqa), time-minor
+    b_ref,       # VMEM [1, d+1, SPs, ti] f32: (b | sqb), TIME ON SUBLANES
+    lb_ref,      # VMEM [1, 8, ti] i32 (lengths 8-replicated on sublanes)
+    out_ref,     # [1, 1, 8, ti] f32 (8-replicated sublane dim, see wrapper)
+    *,
+    d: int,
+    band: int,
+    auto_widen: bool,
+    metric: str,
+    rows: int,
+    width: int,       # W_s, 8-multiple
+    off: int,
+    padl: int,
+    scan_steps: int,
+    unroll_rows: int,
+):
+    """One A-row x ti banded DTWs; stripe slot s of DP row i holds column
+    j = i + s - off (the tile-stripe frame, transposed onto sublanes).
+
+    Contracts are the tile-stripe kernel's: `rows` >= this A-row's length,
+    wv_max >= max(band, |la-lb|) per real pair, out-of-frame pairs come
+    back +inf (extraction slot outside [0, W_s)).  The min-plus scan's
+    masked-shift steps and seam algebra are unchanged — only the axis
+    moved (rolls on axis 0 = sublanes, masks on a sublane iota).
+    """
+    W = width
+    TI = b_ref.shape[3]
+    la = lens_ref[ti_map_ref[pl.program_id(0)] * TI + pl.program_id(1)]
+    del tj_map_ref
+    lb = lb_ref[0, 0:1, :]                               # [1, TI]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    if auto_widen:
+        wv = jnp.maximum(jnp.int32(band), jnp.abs(la - lb))
+    else:
+        wv = jnp.broadcast_to(jnp.int32(band), lb.shape)
+    band_ok = jnp.abs(sub - off) <= wv                   # [W, TI]
+    ex = (sub == (lb - la + off)) & band_ok              # [W, TI]
+
+    def build_row(i):
+        base = i + padl - off
+        acc = b_ref[0, d, pl.ds(base, W), :]             # sqb  [W, TI]
+        acc = acc + a_ref[0, d, i]                       # + sqa (scalar)
+        for c in range(d):                               # + -2a.b
+            acc = acc + a_ref[0, c, i] * b_ref[0, c, pl.ds(base, W), :]
+        j = i + sub - off
+        valid = (j >= 0) & (j < lb) & (i < la) & band_ok
+        if metric == "cosine":
+            cost = 1.0 - acc
+        else:
+            sq = jnp.maximum(acc, 0.0)
+            cost = jnp.sqrt(sq) if metric == "euclidean" else sq
+        return jnp.where(valid, cost, INF)
+
+    def row_step(i, c, prev, out):
+        # D[i-1, j] sits at slot s+1 of the previous stripe row.
+        up = jnp.where(sub < W - 1, pltpu.roll(prev, W - 1, axis=0), INF)
+        e = c + jnp.minimum(prev, up)
+        ee, cc = e, c
+        for t in range(scan_steps):
+            sh = 1 << t
+            m = sub >= sh
+            ee = jnp.where(
+                m, jnp.minimum(ee, pltpu.roll(ee, sh, axis=0) + cc), ee
+            )
+            if t < scan_steps - 1:
+                cc = jnp.where(m, cc + pltpu.roll(cc, sh, axis=0), cc)
+        return ee, jnp.where((i == la - 1) & ex, ee, out)
+
+    UR = unroll_rows
+    while UR > 1 and rows % UR:
+        UR //= 2
+
+    def row_body(i0, carry):
+        prev, out = carry
+        for k in range(UR):
+            i = i0 * UR + k
+            prev, out = row_step(i, build_row(i), prev, out)
+        return prev, out
+
+    init = (
+        jnp.where(
+            jnp.broadcast_to(sub, (W, TI)) == off,
+            0.0,
+            jnp.full((W, TI), INF),
+        ),
+        jnp.full((W, TI), INF),
+    )
+    _, out_acc = jax.lax.fori_loop(0, rows // UR, row_body, init)
+    out_ref[0, 0, :, :] = jnp.broadcast_to(
+        jnp.min(out_acc, axis=0, keepdims=True), (8, TI)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ti", "band", "auto_widen", "metric", "rows",
+                     "wv_max", "unroll_rows", "interpret"),
+)
+def dtw_tile_lane_pairs(
+    feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
+    lengths,      # [K] i32 (pad entries: length 1)
+    ti_idx,       # [U] i32 tile-row indices
+    tj_idx,       # [U] i32 tile-col indices
+    *,
+    ti: int,
+    band: int,
+    wv_max: int,
+    auto_widen: bool = True,
+    metric: str = "euclidean",
+    rows: int | None = None,
+    unroll_rows: int = 8,
+    interpret: bool = False,
+):
+    """Banded DTW distances for U tile-pairs -> [U, ti, ti] blocks, with
+    pairs packed on LANES (grid (U, ti): one program per A-row, ti pairs
+    per vector row op) and the stripe on SUBLANES at W_s = 8-mult >=
+    2*wv_max+2.  Same output contract as dtw_tile_stripe_pairs; the cost
+    build is plain f32 VPU FMAs (no MXU precision knob; the channel-trick
+    cancellation residue near zero remains).  On hardware `ti` must be a
+    multiple of 128
+    (the lane dim of the flipped B tile); tests use small ti in interpret
+    mode.
+    """
+    import chex
+
+    chex.assert_rank(feats, 3)
+    chex.assert_rank([lengths, ti_idx, tj_idx], 1)
+    K, S, d = feats.shape
+    if K % ti:
+        raise ValueError(f"K={K} must be padded to a multiple of ti={ti}")
+    if band is None:
+        raise ValueError("lane kernel requires a band")
+    wv_max = max(int(band), int(wv_max))
+    off = wv_max + 1
+    W = 8 * -(-(2 * wv_max + 2) // 8)
+    padl = 8 * -(-off // 8)
+    SPs = padl + S + W
+    scan_steps = int(max(1, (2 * wv_max).bit_length()))
+    rows = S if rows is None else min(rows, S)
+
+    f32 = feats.astype(jnp.float32)
+    if metric == "cosine":
+        f32 = f32 / jnp.maximum(
+            jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12
+        )
+        a_ch = jnp.transpose(f32, (0, 2, 1))             # [K, d, S]
+        sq_a = jnp.zeros((K, 1, S))
+        b_ch, sq_b = a_ch, jnp.zeros((K, 1, S))
+    else:
+        sq = jnp.sum(f32 * f32, axis=2)[:, None, :]      # [K, 1, S]
+        a_ch = jnp.transpose(-2.0 * f32, (0, 2, 1))
+        sq_a = sq
+        b_ch = jnp.transpose(f32, (0, 2, 1))
+        sq_b = sq
+    a_aug = jnp.concatenate([a_ch, sq_a], axis=1)        # [K, d+1, S]
+    nT = K // ti
+    # B tile: time on SUBLANES, pair index on LANES.
+    b_aug = jnp.concatenate([b_ch, sq_b], axis=1)        # [K, d+1, S]
+    b_aug = jnp.pad(b_aug, ((0, 0), (0, 0), (padl, W)))  # [K, d+1, SPs]
+    b_flip = jnp.transpose(
+        b_aug.reshape(nT, ti, d + 1, SPs), (0, 2, 3, 1)
+    )                                                    # [nT, d+1, SPs, ti]
+    # 8-replicated sublane dim: Mosaic requires block sublane dims to be
+    # 8-divisible (a (1, ti) block of [nT, ti] is rejected).
+    lb_t = jnp.broadcast_to(
+        lengths.astype(jnp.int32).reshape(nT, 1, ti), (nT, 8, ti)
+    )
+    U = ti_idx.shape[0]
+
+    kernel = partial(
+        _dtw_lane_kernel, d=d, band=int(band), auto_widen=auto_widen,
+        metric=metric, rows=rows, width=W, off=off, padl=padl,
+        scan_steps=scan_steps, unroll_rows=unroll_rows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(U, ti),
+        in_specs=[
+            pl.BlockSpec(
+                (1, d + 1, S),
+                lambda u, r, im, jm, lp: (im[u] * ti + r, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, d + 1, SPs, ti),
+                lambda u, r, im, jm, lp: (jm[u], 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, ti), lambda u, r, im, jm, lp: (jm[u], 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, ti), lambda u, r, im, jm, lp: (u, r, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=jax.ShapeDtypeStruct((U, ti, 8, ti), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * U * ti * ti * rows * W * (d + scan_steps) // ti,
+            bytes_accessed=U * (d + 1) * (S + SPs * ti) * 4 + U * ti * ti * 4,
+            transcendentals=U * ti * rows * W * ti
+            if metric == "euclidean" else 0,
+        ),
+        interpret=interpret,
+    )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
+      lengths.astype(jnp.int32), a_aug, b_flip, lb_t)
+    return out[:, :, 0, :]

@@ -34,8 +34,10 @@ from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
 from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     MAX_KERNEL_SEQ_LEN,
     dtw_batch_pallas,
+    dtw_tile_lane_pairs,
     dtw_tile_pairs,
     dtw_tile_stripe_pairs,
+    lane_geometry,
     pallas_supported,
     scan_len_diff_classes,
     tile_geometry,
@@ -359,6 +361,34 @@ def _wv_level(wv_req: int) -> int:
     return 64 * (_wv_width(wv_req) // 128) - 1
 
 
+def _ws_width(wv: int) -> int:
+    """Lane-kernel stripe SUBLANE width (16-multiple) covering band
+    half-widths <= wv.  16 instead of the native 8 granularity halves the
+    class count (each class is its own compiled executable)."""
+    return 16 * -(-(2 * int(wv) + 2) // 16)
+
+
+def _ws_level(wv_req: int) -> int:
+    """Quantize a required half-width UP to its lane-kernel class level
+    (the largest wv the class's W_s covers: 7, 15, 23, ...)."""
+    return (_ws_width(wv_req) - 2) // 2
+
+
+def _lane_route(
+    L: int, d: int, lengths: np.ndarray, cfg: DTWConfig,
+) -> int | None:
+    """Tile size for the LANE-PACKED kernel if the whole job can ride it
+    (banded, S <= 4096, SMEM/VMEM in range), else None.  Gates on the
+    corpus-global widened half-width like _stripe_route."""
+    if cfg.band is None or not len(lengths):
+        return None
+    Lp = 128 * -(-L // 128)
+    wv = int(cfg.band)
+    if cfg.auto_widen_band:
+        wv = max(wv, int(lengths.max()) - int(lengths.min()))
+    return lane_geometry(Lp, d, _ws_width(min(wv, Lp)))
+
+
 def _stripe_route(
     L: int, d: int, lengths: np.ndarray, cfg: DTWConfig,
 ) -> tuple[int, int, int] | None:
@@ -386,8 +416,10 @@ def make_tile_stripe_class_fn(
     band: int,
     auto_widen: bool,
     n_real: int,
+    level_fn: Callable[[int], int] = _wv_level,
 ) -> Callable[[int, int], tuple[int, int]]:
-    """(I, J) tile-pair -> (rows_cls, wv_cls) for the tile-stripe kernel.
+    """(I, J) tile-pair -> (rows_cls, wv_cls) for the tile-stripe kernel
+    (default `level_fn`) or the lane-packed kernel (`_ws_level`).
 
     Like make_tile_pair_class_fn, but the banded scan depth is implied by
     the class's static wv bound (dtw_tile_stripe_pairs derives W, off, and
@@ -416,7 +448,7 @@ def make_tile_stripe_class_fn(
                 int(tmax[j]) - int(tmin[i]),
                 int(tmax[i]) - int(tmin[j]),
             )
-        return rows_cls, _wv_level(min(wv_req, Lp))
+        return rows_cls, level_fn(min(wv_req, Lp))
 
     return pair_class
 
@@ -498,6 +530,7 @@ def all_pairs_distances_tiled(
     geometry: tuple[int, int, int] | None = None,
     known: tuple[int, np.ndarray] | None = None,
     stripe: bool | None = None,
+    lane: bool | None = None,
 ) -> np.ndarray:
     """Symmetric [K, K] DTW matrix via the all-pairs TILE kernel.
 
@@ -530,17 +563,30 @@ def all_pairs_distances_tiled(
     # make pad frames free, and DP rows stay bounded by true lengths.
     # (A test-provided geometry override keeps L as-is for interpret runs.)
     Lp = L if geometry is not None else 128 * -(-L // 128)
-    if stripe is None:
-        # Auto-route: the square tile kernel where it applies (S <= 256),
-        # else the banded TILE-STRIPE kernel for long sequences.
+    if lane is None:
+        # Auto-route priority: the LANE-PACKED kernel owns every banded
+        # job it can take (fastest at ALL lengths, BASELINE.md round-3
+        # lane table); the square tile kernel keeps unbanded S <= 256;
+        # the tile-stripe kernel keeps banded jobs the lane kernel's
+        # SMEM/VMEM gates exclude (e.g. very high-d features).
+        lane = (
+            stripe is not True
+            and geometry is None
+            and _lane_route(L, d, lengths, cfg) is not None
+        )
+    if lane:
+        stripe = False
+    elif stripe is None:
         stripe = (geometry or tile_geometry(Lp, d)) is None
     if geometry is not None:
         geom = geometry
+    elif lane:
+        geom = (_lane_route(L, d, lengths, cfg), 0, 0)
     elif stripe:
         geom = _stripe_route(L, d, lengths, cfg)
     else:
         geom = tile_geometry(Lp, d)
-    assert geom is not None, (
+    assert geom is not None and geom[0] is not None, (
         f"tile kernels out of range for L={L}, d={d}, band={cfg.band}"
     )
     ti, su, sv = geom
@@ -618,7 +664,12 @@ def all_pairs_distances_tiled(
         np.asarray(fd[0, 0, 0])
     upload_s = time.perf_counter() - t_up
 
-    if stripe:
+    if lane:
+        pair_class = make_tile_stripe_class_fn(
+            lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band, K,
+            level_fn=_ws_level,
+        )
+    elif stripe:
         pair_class = make_tile_stripe_class_fn(
             lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band, K
         )
@@ -644,15 +695,16 @@ def all_pairs_distances_tiled(
     stats.update(
         dispatch_s=0.0, collect_s=0.0, scatter_s=0.0, persist_s=0.0,
         enumerate_s=0.0, blocks=0, pad_pairs=0, pairs=n_all_pairs,
-        tiled=True, stripe=bool(stripe), tile_programs=len(pairs_list),
-        upload_s=upload_s,
+        tiled=True, stripe=bool(stripe), lane=bool(lane),
+        tile_programs=len(pairs_list), upload_s=upload_s,
     )
 
     if block_dir is not None:
         block_dir = Path(block_dir)
         block_dir.mkdir(parents=True, exist_ok=True)
         cfg_tag = _cfg_tag(cfg, features, lengths) + (
-            b"|tiledstripe" if stripe else b"|tiled"
+            b"|tiledlane" if lane
+            else (b"|tiledstripe" if stripe else b"|tiled")
         )
 
     # Group tile-pairs by (rows, scan) class, then pad each class's tail
@@ -785,7 +837,17 @@ def all_pairs_distances_tiled(
                 continue
         di = ci % len(devices)
 
-        if stripe:
+        if lane:
+            def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                         wv_cls=scan_cls):
+                return dtw_tile_lane_pairs(
+                    feats_dev[di], lens_dev[di],
+                    jnp.asarray(ii), jnp.asarray(jj),
+                    ti=ti, band=cfg.band, wv_max=wv_cls,
+                    auto_widen=cfg.auto_widen_band, metric=cfg.metric,
+                    rows=rows_cls, interpret=interpret,
+                )
+        elif stripe:
             # Per-class geometry at the job's fixed ti: narrower classes
             # always fit where the widest (gating) class did, and a test
             # geometry override applies to every class.
@@ -878,12 +940,15 @@ def all_pairs_distances(
             )
 
     # Round-3 fast path: the all-pairs TILE kernels whenever one applies —
-    # the square tile kernel for S <= 256, the banded TILE-STRIPE kernel
-    # for longer sequences whose corpus-wide widened band fits a stripe
-    # (both kill the per-pair gather traffic that bounds this device).
-    # `tiled` forces the choice either way (tests exercise the tile paths
-    # in interpret mode on CPU).  bfloat16 matmul_dtype keeps the legacy
-    # path: the tile kernels are HIGHEST-only by design.
+    # the LANE-PACKED kernel for banded jobs up to S=4096 (fastest at
+    # every length, BASELINE.md round-3 lane table), the square tile
+    # kernel for unbanded S <= 256, the TILE-STRIPE kernel for banded
+    # jobs the lane gates exclude (all three kill the per-pair gather
+    # traffic that bounds this device).  `tiled` forces the choice either
+    # way (tests exercise the tile paths in interpret mode on CPU).
+    # bfloat16 matmul_dtype keeps the legacy path: the square/stripe tile
+    # kernels are HIGHEST-only by design (the lane kernel's VPU build
+    # needs no precision knob at all).
     if tiled is None:
         tiled = bool(
             cfg.use_pallas
@@ -891,7 +956,8 @@ def all_pairs_distances(
             and matmul_dtype is None
             and cfg.dtype != "bfloat16"
             and (
-                tile_geometry(L, features.shape[2]) is not None
+                _lane_route(L, features.shape[2], lengths, cfg) is not None
+                or tile_geometry(L, features.shape[2]) is not None
                 or _stripe_route(L, features.shape[2], lengths, cfg)
                 is not None
             )

@@ -3,13 +3,15 @@
 
 Workload: BASELINE config 4 shape — all-pairs banded DTW over latent
 embedding sequences on a single TPU chip, measured through the round-3
-all-pairs TILE kernel (ops/dtw_pallas.dtw_tile_pairs): sequence tiles
-upload once and each (128x128)-sequence tile-pair program computes its
-16,384 pairs in VMEM.  That is the production path for the all-pairs job
-(parallel/pair_scheduler routes to it on TPU), and it exists because this
-device's HBM path (~15 GB/s observable) was the per-pair kernel's true
-ceiling — see BASELINE.md round-3 findings.  Only off-diagonal tile-pairs
-are timed, so every counted pair is a distinct real pair.
+all-pairs LANE-PACKED tile kernel (ops/dtw_pallas.dtw_tile_lane_pairs):
+sequence tiles upload once, each (128x128)-sequence tile-pair program
+computes its 16,384 pairs with 128 pairs advancing per vector row op
+(pairs on lanes, banded stripe on sublanes).  That is the production path
+for banded all-pairs jobs (parallel/pair_scheduler routes to it on TPU);
+it supersedes the square TILE kernel (still measured on stderr), which in
+turn killed the per-pair gather path's HBM ceiling (~15 GB/s observable)
+— see BASELINE.md round-3 findings.  Only off-diagonal tile-pairs are
+timed, so every counted pair is a distinct real pair.
 
 Baseline: the native C++ CPU implementation (native/apd_native.cc), the
 Rust-reference-equivalent single-core hot loop, measured on this machine
@@ -265,7 +267,68 @@ def main() -> int:
                 tdrain(o)
             windows.append((time.perf_counter() - t0) / TPU_ITERS)
         log(
-            "tile kernel pipelined windows: "
+            "square tile kernel pipelined windows: "
+            + ", ".join(f"{tile_pairs_n / w:,.0f}" for w in windows)
+            + " pairs/s (superseded comparison)"
+        )
+
+        # ---- headline: LANE-PACKED tile kernel (production path) --------
+        from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+            dtw_tile_lane_pairs,
+        )
+        from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+            _ws_level,
+            make_tile_stripe_class_fn,
+        )
+
+        lane_class = make_tile_stripe_class_fn(
+            lens_s, nT, ti, SEQ_LEN, BAND, True, K, level_fn=_ws_level
+        )
+        lane_by: dict = {}
+        for i, j in all_pairs:
+            lane_by.setdefault(lane_class(i, j), []).append((i, j))
+        _merge_thin_classes(lane_by)
+        lcls_of = {p: c for c, ps in lane_by.items() for p in ps}
+        lgroups: dict = {}
+        for p in pairs:
+            lgroups.setdefault(lcls_of[p], []).append(p)
+        lparts = [
+            (
+                rows_cls, wv_cls,
+                jnp.asarray(np.array([p[0] for p in ps], np.int32)),
+                jnp.asarray(np.array([p[1] for p in ps], np.int32)),
+            )
+            for (rows_cls, wv_cls), ps in sorted(lgroups.items())
+        ]
+        log("lane classes: " + ", ".join(
+            f"rows={r} wv={wv}: {len(ii)} tile-pairs"
+            for r, wv, ii, jjj in lparts
+        ))
+
+        def lrun():
+            return [
+                dtw_tile_lane_pairs(
+                    feats, lens, ii, jjc, ti=ti, band=BAND, wv_max=wv_cls,
+                    rows=rows_cls,
+                )
+                for rows_cls, wv_cls, ii, jjc in lparts
+            ]
+
+        t0 = time.perf_counter()
+        tdrain(lrun())
+        log(f"lane kernel compile+warm: {time.perf_counter() - t0:.1f}s")
+        outs = [lrun() for _ in range(2)]
+        for o in outs:
+            tdrain(o)
+        windows = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            outs = [lrun() for _ in range(TPU_ITERS)]
+            for o in outs:
+                tdrain(o)
+            windows.append((time.perf_counter() - t0) / TPU_ITERS)
+        log(
+            "lane kernel pipelined windows: "
             + ", ".join(f"{tile_pairs_n / w:,.0f}" for w in windows)
             + " pairs/s (reporting best)"
         )

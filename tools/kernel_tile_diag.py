@@ -68,6 +68,10 @@ def main() -> int:
                     help="drive the long-sequence tile-stripe kernel "
                          "(banded, S > 256) and the per-pair stripe "
                          "baseline on the same pairs")
+    ap.add_argument("--lane", action="store_true",
+                    help="drive the LANE-PACKED tile kernel (pairs on "
+                         "lanes, stripe on sublanes; ti must be a "
+                         "128-multiple on hardware)")
     ap.add_argument("--no-baseline", action="store_true",
                     help="with --stripe: skip the per-pair baseline timing")
     ap.add_argument("--panel-rows", type=int, default=32,
@@ -97,6 +101,7 @@ def main() -> int:
 
     from audio_pattern_discovery_tpu.ops.dtw_pallas import (
         dtw_batch_pallas,
+        dtw_tile_lane_pairs,
         dtw_tile_pairs,
         dtw_tile_stripe_pairs,
     )
@@ -131,7 +136,14 @@ def main() -> int:
 
     wv_max = max(BAND, args.ddmax)
 
-    if args.stripe:
+    if args.lane:
+        def run():
+            return dtw_tile_lane_pairs(
+                feats, lengths, ii, jj, ti=args.ti, band=BAND,
+                wv_max=wv_max, rows=args.rows,
+                unroll_rows=args.unroll_rows,
+                interpret=not on_tpu)
+    elif args.stripe:
         def run():
             return dtw_tile_stripe_pairs(
                 feats, lengths, ii, jj, ti=args.ti, su=args.su, sv=args.sv,
@@ -181,7 +193,8 @@ def main() -> int:
         for o in outs:
             np.asarray(o)
         best = max(best, n_pairs * ITERS / (time.perf_counter() - t0))
-    kind = "tile-stripe" if args.stripe else "tile"
+    kind = "lane" if args.lane else ("tile-stripe" if args.stripe else
+                                     "tile")
     log(f"RESULT {kind}: {best:,.0f} pairs/s over {n_pairs} pairs/dispatch")
 
     if args.stripe and not args.no_baseline:
@@ -218,6 +231,24 @@ def main() -> int:
                 np.asarray(o)
             b = max(b, n * iters / (time.perf_counter() - t0))
         return b
+
+    if args.lane and args.sweep:
+        # lane sweep specs: 'ur' per config (geometry is fixed by ti)
+        for spec in args.sweep.split(";"):
+            ur_s = int(spec)
+
+            def run_l(ur_s=ur_s):
+                return dtw_tile_lane_pairs(
+                    feats, lengths, ii, jj, ti=args.ti, band=BAND,
+                    wv_max=wv_max, rows=args.rows, unroll_rows=ur_s,
+                    interpret=not on_tpu)
+
+            try:
+                r = time_cfg(run_l, n_pairs)
+                log(f"SWEEP lane UR={ur_s}: {r:,.0f} pairs/s")
+            except Exception as e:  # noqa: BLE001
+                log(f"SWEEP lane UR={ur_s}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:200]}")
 
     if args.stripe and args.sweep:
         for spec in args.sweep.split(";"):
