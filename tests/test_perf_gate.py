@@ -142,3 +142,41 @@ def test_tile_kernel_throughput_floor(rng):
             np.asarray(o)
         best = max(best, 3 * n / (time.perf_counter() - t0))
     assert best >= floor, f"tile kernel {best:,.0f} pairs/s < floor {floor:,.0f}"
+
+
+@pytest.mark.tpu
+def test_lane_kernel_throughput_floor(rng):
+    """Round-3 LANE-PACKED kernel (the banded production path): healthy
+    ~6M pairs/s at uniform wv, ~4.3-4.5M under the bench's realistic
+    class mix; floor 1.5M rides out the recorded ~3x weather while
+    catching a 3x regression (BASELINE.md round-3 lane table)."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import dtw_tile_lane_pairs
+
+    floor = float(os.environ.get("APD_PERF_FLOOR_LANE", 1_500_000))
+    S, d, ti = 128, 16, 128
+    K = 9 * ti
+    feats = jnp.asarray(rng.normal(0, 1, (K, S, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(S - 16, S + 1, K).astype(np.int32))
+    pairs = [(i, j) for i in range(9) for j in range(i + 1, 9)]
+    ii = jnp.asarray(np.array([p[0] for p in pairs[:32]], np.int32))
+    jj = jnp.asarray(np.array([p[1] for p in pairs[:32]], np.int32))
+    n = 32 * ti * ti
+
+    def run():
+        return dtw_tile_lane_pairs(
+            feats, lens, ii, jj, ti=ti, band=16, wv_max=16
+        )
+
+    np.asarray(run())  # compile + warm
+    for o in [run() for _ in range(2)]:
+        np.asarray(o)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(3)]
+        for o in outs:
+            np.asarray(o)
+        best = max(best, 3 * n / (time.perf_counter() - t0))
+    assert best >= floor, f"lane kernel {best:,.0f} pairs/s < floor {floor:,.0f}"
