@@ -19,6 +19,9 @@ amortized away (SURVEY.md SS8 'the hard parts'):
 from __future__ import annotations
 
 import hashlib
+import os
+import queue
+import threading
 import time
 from functools import partial
 from pathlib import Path
@@ -798,17 +801,21 @@ def all_pairs_distances_tiled(
                     strip_add(J, r0, np.ascontiguousarray(blk.T))
         return len(seen)
 
-    def collect_one():
+    # Matrix assembly rides ONE worker thread: `np.asarray(fut)` releases
+    # the GIL while it blocks on the device, so scatter/persist overlap the
+    # device wait instead of stalling the collect loop between dispatches —
+    # once the lane kernel cut device time ~2.8x, host assembly was ~1/3 of
+    # contract-scale wall (BASELINE.md round 3) and grows with K on the
+    # strip path.  A single worker keeps D writes strictly sequential (no
+    # locking, bitwise-identical result); its errors are parked and
+    # re-raised on the main thread.  APD_SYNC_SCATTER=1 forces the inline
+    # path (A/B measurement + the identity test in test_dtw_tile.py).
+    sync_scatter = os.environ.get("APD_SYNC_SCATTER", "") == "1"
+    scatter_q: queue.Queue = queue.Queue(maxsize=8)
+    scatter_err: list[BaseException] = []
+
+    def handle_block(ii, jj, vals, path):
         nonlocal done_programs
-        ii, jj, dispatch, fut, path = pending.pop(0)
-        t0 = time.perf_counter()
-        try:
-            vals = np.asarray(fut)
-        except Exception as exc:
-            vals = _with_retries(
-                lambda: np.asarray(dispatch()), max_retries, exc
-            )
-        stats["collect_s"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         done_programs += scatter_chunk(ii, jj, vals)
         stats["scatter_s"] += time.perf_counter() - t0
@@ -818,6 +825,45 @@ def all_pairs_distances_tiled(
             stats["persist_s"] += time.perf_counter() - t0
         if progress:
             progress(done_programs, total_programs)
+
+    def scatter_worker():
+        while True:
+            item = scatter_q.get()
+            if item is None:
+                return
+            if scatter_err:
+                continue  # drain so the producer can never block on put()
+            try:
+                handle_block(*item)
+            except BaseException as exc:
+                scatter_err.append(exc)
+
+    worker = None
+    if not sync_scatter:
+        worker = threading.Thread(
+            target=scatter_worker, name="apd-scatter", daemon=True
+        )
+        worker.start()
+
+    def emit_block(ii, jj, vals, path):
+        if worker is None:
+            handle_block(ii, jj, vals, path)
+            return
+        if scatter_err:
+            raise scatter_err[0]
+        scatter_q.put((ii, jj, vals, path))
+
+    def collect_one():
+        ii, jj, dispatch, fut, path = pending.pop(0)
+        t0 = time.perf_counter()
+        try:
+            vals = np.asarray(fut)
+        except Exception as exc:
+            vals = _with_retries(
+                lambda: np.asarray(dispatch()), max_retries, exc
+            )
+        stats["collect_s"] += time.perf_counter() - t0
+        emit_block(ii, jj, vals, path)
 
     for ci, (ii, jj, rows_cls, scan_cls) in enumerate(chunks):
         stats["blocks"] += 1
@@ -829,11 +875,7 @@ def all_pairs_distances_tiled(
             )
             if path.exists():
                 saved = np.load(path)
-                done_programs += scatter_chunk(
-                    saved["ii"], saved["jj"], saved["blocks"]
-                )
-                if progress:
-                    progress(done_programs, total_programs)
+                emit_block(saved["ii"], saved["jj"], saved["blocks"], None)
                 continue
         di = ci % len(devices)
 
@@ -891,8 +933,15 @@ def all_pairs_distances_tiled(
         pending.append((ii, jj, dispatch, fut, path))
         if len(pending) >= 4 * len(devices):
             collect_one()
-    while pending:
-        collect_one()
+    try:
+        while pending:
+            collect_one()
+    finally:
+        if worker is not None:
+            scatter_q.put(None)
+            worker.join()
+    if scatter_err:
+        raise scatter_err[0]
     assert not strip_bufs, "incomplete row strips after all chunks"
     return D
 

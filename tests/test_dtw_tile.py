@@ -359,6 +359,57 @@ def test_scatter_strategies_identical(monkeypatch):
     np.testing.assert_array_equal(D_direct, D_sorted)
 
 
+def test_threaded_scatter_identical(monkeypatch, tmp_path):
+    """Matrix assembly on the scatter worker thread must be a pure
+    implementation detail: same D (bitwise) as the APD_SYNC_SCATTER=1
+    inline path, on both the fresh-run and the block-resume route."""
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
+
+    feats, lengths = _mk(40, seed=11)
+    cfg = DTWConfig(band=8, normalize="path_len")
+    kw = dict(interpret=True, geometry=(TI, SU, SV))
+    bdir = tmp_path / "blocks"
+    D_thr = ps.all_pairs_distances_tiled(
+        np.asarray(feats), np.asarray(lengths), cfg, block_dir=bdir, **kw
+    )
+    # resume entirely from persisted blocks, still through the worker
+    D_res = ps.all_pairs_distances_tiled(
+        np.asarray(feats), np.asarray(lengths), cfg, block_dir=bdir, **kw
+    )
+    monkeypatch.setenv("APD_SYNC_SCATTER", "1")
+    D_sync = ps.all_pairs_distances_tiled(
+        np.asarray(feats), np.asarray(lengths), cfg, **kw
+    )
+    np.testing.assert_array_equal(D_thr, D_sync)
+    np.testing.assert_array_equal(D_res, D_sync)
+
+
+def test_threaded_scatter_error_propagates():
+    """A failure inside the scatter worker (e.g. a corrupt block shape)
+    must surface as an exception on the caller's thread, not hang or pass
+    silently."""
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
+
+    feats, lengths = _mk(40, seed=12)
+    cfg = DTWConfig(band=8, normalize="path_len")
+
+    def boom(*a, **k):
+        raise RuntimeError("scatter boom")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        ps.np, "triu", side_effect=boom
+    ):
+        with pytest.raises(RuntimeError, match="scatter boom"):
+            ps.all_pairs_distances_tiled(
+                np.asarray(feats), np.asarray(lengths), cfg,
+                interpret=True, geometry=(TI, SU, SV),
+            )
+
+
 def test_tiled_scheduler_known_pairs_update():
     """Incremental update on the tiled path: pure-old tile-pairs are skipped
     (old sequences group into leading tiles) and the result matches the full

@@ -77,13 +77,16 @@ def main() -> int:
         pps = n_pairs / wall
         rates.append(pps)
         log(f"run {run + 1}/{n_runs}: {n_pairs:,} pairs in {wall:.1f}s = {pps:,.0f} pairs/s")
+        # scatter/persist run on the scheduler's worker thread, overlapped
+        # with collect-wait — they are NOT additive with wall; other-host
+        # sums only the main-thread stages.
         log(
             f"  breakdown: enumerate {stats['enumerate_s']:.1f}s, "
             f"dispatch {stats['dispatch_s']:.1f}s, "
             f"collect-wait {stats['collect_s']:.1f}s, "
-            f"scatter {stats['scatter_s']:.1f}s, "
-            f"persist {stats['persist_s']:.1f}s, "
-            f"other-host {wall - stats['enumerate_s'] - stats['dispatch_s'] - stats['collect_s'] - stats['scatter_s'] - stats['persist_s']:.1f}s, "
+            f"scatter {stats['scatter_s']:.1f}s (overlapped), "
+            f"persist {stats['persist_s']:.1f}s (overlapped), "
+            f"other-host {wall - stats['enumerate_s'] - stats['dispatch_s'] - stats['collect_s']:.1f}s, "
             f"{stats['blocks']} blocks, {stats['pad_pairs']:,} pad pairs "
             f"({100 * stats['pad_pairs'] / n_pairs:.2f}%), "
             f"upload {stats.get('upload_s', 0.0):.1f}s"
