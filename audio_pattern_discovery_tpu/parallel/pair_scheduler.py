@@ -555,6 +555,11 @@ def all_pairs_distances_tiled(
     share, not the full triangle.  The one boundary tile mixing old and
     new recomputes its old x old pairs; same features, same kernel, so
     the overwrite is a no-op numerically.
+
+    `progress(done, total)` is invoked from the scheduler's scatter WORKER
+    thread in the default async-assembly mode (main thread only under
+    APD_SYNC_SCATTER=1) — callbacks must be thread-safe; calls are strictly
+    sequential (one worker), never concurrent.
     """
     K, L, d = features.shape
     lengths = np.asarray(lengths, dtype=np.int32)
@@ -865,75 +870,80 @@ def all_pairs_distances_tiled(
         stats["collect_s"] += time.perf_counter() - t0
         emit_block(ii, jj, vals, path)
 
-    for ci, (ii, jj, rows_cls, scan_cls) in enumerate(chunks):
-        stats["blocks"] += 1
-        path = None
-        if block_dir is not None:
-            path = block_dir / (
-                _block_key(ii, jj, cfg_tag + f"|{rows_cls}|{scan_cls}".encode())
-                + ".npz"
-            )
-            if path.exists():
-                saved = np.load(path)
-                emit_block(saved["ii"], saved["jj"], saved["blocks"], None)
-                continue
-        di = ci % len(devices)
-
-        if lane:
-            def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
-                         wv_cls=scan_cls):
-                return dtw_tile_lane_pairs(
-                    feats_dev[di], lens_dev[di],
-                    jnp.asarray(ii), jnp.asarray(jj),
-                    ti=ti, band=cfg.band, wv_max=wv_cls,
-                    auto_widen=cfg.auto_widen_band, metric=cfg.metric,
-                    rows=rows_cls, interpret=interpret,
-                )
-        elif stripe:
-            # Per-class geometry at the job's fixed ti: narrower classes
-            # always fit where the widest (gating) class did, and a test
-            # geometry override applies to every class.
-            if geometry is not None:
-                su_c, sv_c = su, sv
-            else:
-                g_c = tile_stripe_geometry(
-                    Lp, d, _wv_width(scan_cls), ti=ti
-                )
-                assert g_c is not None, (Lp, d, scan_cls, ti)
-                su_c, sv_c = g_c[1], g_c[2]
-
-            def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
-                         wv_cls=scan_cls, su_c=su_c, sv_c=sv_c):
-                return dtw_tile_stripe_pairs(
-                    feats_dev[di], lens_dev[di],
-                    jnp.asarray(ii), jnp.asarray(jj),
-                    ti=ti, su=su_c, sv=sv_c,
-                    band=cfg.band, auto_widen=cfg.auto_widen_band,
-                    metric=cfg.metric, rows=rows_cls, wv_max=wv_cls,
-                    interpret=interpret,
-                )
-        else:
-            def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
-                         scan_cls=scan_cls):
-                return dtw_tile_pairs(
-                    feats_dev[di], lens_dev[di],
-                    jnp.asarray(ii), jnp.asarray(jj),
-                    ti=ti, su=su, sv=sv,
-                    band=cfg.band, auto_widen=cfg.auto_widen_band,
-                    metric=cfg.metric, rows=rows_cls, scan_steps=scan_cls,
-                    interpret=interpret,
-                )
-
-        t0 = time.perf_counter()
-        try:
-            fut = dispatch()
-        except Exception as exc:
-            fut = _with_retries(dispatch, max_retries, exc)
-        stats["dispatch_s"] += time.perf_counter() - t0
-        pending.append((ii, jj, dispatch, fut, path))
-        if len(pending) >= 4 * len(devices):
-            collect_one()
+    # The try spans the WHOLE dispatch/collect region, not just the final
+    # drain: any exception escaping the chunk loop (retry exhaustion, a
+    # corrupt resume block's np.load, emit_block re-raising a parked
+    # scatter error) must still put(None)/join() or it leaks one daemon
+    # scatter thread per failed call, each pinning this closure's K x K D.
     try:
+        for ci, (ii, jj, rows_cls, scan_cls) in enumerate(chunks):
+            stats["blocks"] += 1
+            path = None
+            if block_dir is not None:
+                path = block_dir / (
+                    _block_key(ii, jj, cfg_tag + f"|{rows_cls}|{scan_cls}".encode())
+                    + ".npz"
+                )
+                if path.exists():
+                    saved = np.load(path)
+                    emit_block(saved["ii"], saved["jj"], saved["blocks"], None)
+                    continue
+            di = ci % len(devices)
+
+            if lane:
+                def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                             wv_cls=scan_cls):
+                    return dtw_tile_lane_pairs(
+                        feats_dev[di], lens_dev[di],
+                        jnp.asarray(ii), jnp.asarray(jj),
+                        ti=ti, band=cfg.band, wv_max=wv_cls,
+                        auto_widen=cfg.auto_widen_band, metric=cfg.metric,
+                        rows=rows_cls, interpret=interpret,
+                    )
+            elif stripe:
+                # Per-class geometry at the job's fixed ti: narrower classes
+                # always fit where the widest (gating) class did, and a test
+                # geometry override applies to every class.
+                if geometry is not None:
+                    su_c, sv_c = su, sv
+                else:
+                    g_c = tile_stripe_geometry(
+                        Lp, d, _wv_width(scan_cls), ti=ti
+                    )
+                    assert g_c is not None, (Lp, d, scan_cls, ti)
+                    su_c, sv_c = g_c[1], g_c[2]
+
+                def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                             wv_cls=scan_cls, su_c=su_c, sv_c=sv_c):
+                    return dtw_tile_stripe_pairs(
+                        feats_dev[di], lens_dev[di],
+                        jnp.asarray(ii), jnp.asarray(jj),
+                        ti=ti, su=su_c, sv=sv_c,
+                        band=cfg.band, auto_widen=cfg.auto_widen_band,
+                        metric=cfg.metric, rows=rows_cls, wv_max=wv_cls,
+                        interpret=interpret,
+                    )
+            else:
+                def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                             scan_cls=scan_cls):
+                    return dtw_tile_pairs(
+                        feats_dev[di], lens_dev[di],
+                        jnp.asarray(ii), jnp.asarray(jj),
+                        ti=ti, su=su, sv=sv,
+                        band=cfg.band, auto_widen=cfg.auto_widen_band,
+                        metric=cfg.metric, rows=rows_cls, scan_steps=scan_cls,
+                        interpret=interpret,
+                    )
+
+            t0 = time.perf_counter()
+            try:
+                fut = dispatch()
+            except Exception as exc:
+                fut = _with_retries(dispatch, max_retries, exc)
+            stats["dispatch_s"] += time.perf_counter() - t0
+            pending.append((ii, jj, dispatch, fut, path))
+            if len(pending) >= 4 * len(devices):
+                collect_one()
         while pending:
             collect_one()
     finally:

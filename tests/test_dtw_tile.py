@@ -470,3 +470,33 @@ def test_tile_pair_class_non_monotone_lengths():
         lens_tight, nT=2, ti=16, Lp=128, band=16, auto_widen=True
     )
     assert fn3(0, 1)[1] == min(6, full_scan)
+
+
+def test_failed_tiled_job_does_not_leak_scatter_thread(monkeypatch):
+    """A dispatch failure escaping the chunk loop must still join the
+    scatter worker (ADVICE r3: each leaked daemon thread pins the full
+    K x K D closure).  Three failed calls -> zero live apd-scatter
+    threads."""
+    import threading
+
+    import audio_pattern_discovery_tpu.parallel.pair_scheduler as ps
+    from audio_pattern_discovery_tpu.config import DTWConfig
+
+    feats, lengths = _mk(40, seed=5)
+    feats_np, lengths_np = np.asarray(feats), np.asarray(lengths)
+    cfg = DTWConfig(band=8)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected dispatch failure")
+
+    monkeypatch.setattr(ps, "dtw_tile_pairs", boom)
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="injected"):
+            ps.all_pairs_distances_tiled(
+                feats_np, lengths_np, cfg, interpret=True,
+                geometry=(TI, SU, SV), max_retries=0,
+            )
+    leaked = [
+        t for t in threading.enumerate() if t.name.startswith("apd-scatter")
+    ]
+    assert leaked == []

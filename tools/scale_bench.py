@@ -8,6 +8,7 @@ Prints pairs/s and total wall time to stderr and one JSON line to stdout.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -77,16 +78,23 @@ def main() -> int:
         pps = n_pairs / wall
         rates.append(pps)
         log(f"run {run + 1}/{n_runs}: {n_pairs:,} pairs in {wall:.1f}s = {pps:,.0f} pairs/s")
-        # scatter/persist run on the scheduler's worker thread, overlapped
-        # with collect-wait — they are NOT additive with wall; other-host
-        # sums only the main-thread stages.
+        # In the default (async) mode scatter/persist run on the scheduler's
+        # worker thread, overlapped with collect-wait — NOT additive with
+        # wall, so other-host sums only the main-thread stages.  Under
+        # APD_SYNC_SCATTER=1 they run inline on the main thread, so the
+        # label and the other-host subtraction must switch to stay additive.
+        sync_scatter = os.environ.get("APD_SYNC_SCATTER", "") == "1"
+        overlap_tag = "" if sync_scatter else " (overlapped)"
+        other_host = wall - stats["enumerate_s"] - stats["dispatch_s"] - stats["collect_s"]
+        if sync_scatter:
+            other_host -= stats["scatter_s"] + stats["persist_s"]
         log(
             f"  breakdown: enumerate {stats['enumerate_s']:.1f}s, "
             f"dispatch {stats['dispatch_s']:.1f}s, "
             f"collect-wait {stats['collect_s']:.1f}s, "
-            f"scatter {stats['scatter_s']:.1f}s (overlapped), "
-            f"persist {stats['persist_s']:.1f}s (overlapped), "
-            f"other-host {wall - stats['enumerate_s'] - stats['dispatch_s'] - stats['collect_s']:.1f}s, "
+            f"scatter {stats['scatter_s']:.1f}s{overlap_tag}, "
+            f"persist {stats['persist_s']:.1f}s{overlap_tag}, "
+            f"other-host {other_host:.1f}s, "
             f"{stats['blocks']} blocks, {stats['pad_pairs']:,} pad pairs "
             f"({100 * stats['pad_pairs'] / n_pairs:.2f}%), "
             f"upload {stats.get('upload_s', 0.0):.1f}s"
