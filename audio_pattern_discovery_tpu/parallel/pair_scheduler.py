@@ -705,6 +705,7 @@ def all_pairs_distances_tiled(
         enumerate_s=0.0, blocks=0, pad_pairs=0, pairs=n_all_pairs,
         tiled=True, stripe=bool(stripe), lane=bool(lane),
         tile_programs=len(pairs_list), upload_s=upload_s,
+        device_blocks=[0] * len(devices),
     )
 
     if block_dir is not None:
@@ -889,6 +890,7 @@ def all_pairs_distances_tiled(
                     emit_block(saved["ii"], saved["jj"], saved["blocks"], None)
                     continue
             di = ci % len(devices)
+            stats["device_blocks"][di] += 1
 
             if lane:
                 def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
