@@ -165,7 +165,14 @@ class DTWConfig:
     """Dynamic-time-warping alignment (SS3 rows 5-6)."""
 
     band: int | None = None         # Sakoe-Chiba band half-width; None = full
-    auto_widen_band: bool = True    # widen band to >= |len_a - len_b|
+    # Band semantics for length-mismatched pairs (oracle/dtw.py docstring):
+    # "diag" (default) = the classical scaled corridor around the
+    # corner-to-corner diagonal — half-width stays O(band) regardless of
+    # |len_a - len_b|, which keeps the lane kernel's stripe narrow;
+    # "widen" = |i - j| <= max(band, |len_a - len_b|) (rounds 1-3 default),
+    # kept for comparability and for the stripe/square kernel routes.
+    band_mode: str = "diag"
+    auto_widen_band: bool = True    # ("widen" mode) widen to >= |len_a-len_b|
     metric: str = "euclidean"       # "euclidean" | "sqeuclidean" | "cosine"
     normalize: str = "path_len"     # "none" | "path_len" (divide by N+M)
     # Pair-batching knobs for the TPU kernel.  Large dispatches amortize the
@@ -314,6 +321,10 @@ class PipelineConfig:
                 f"spectrogram.n_mfcc={sp.n_mfcc} must be in [1, n_mels={sp.n_mels}]",
             )
         check(dt.band is None or dt.band >= 0, f"dtw.band={dt.band} must be >= 0 or null")
+        check(
+            dt.band_mode in ("diag", "widen"),
+            f"dtw.band_mode={dt.band_mode!r} must be 'diag' or 'widen'",
+        )
         check(cl.auto_cut in ("gap", "quantile"), f"cluster.auto_cut={cl.auto_cut!r}")
         check(
             cl.auto_cut_min_rel_gap > 1.0,

@@ -64,6 +64,7 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.apd_nn_chain.restype = ctypes.c_int
     lib.apd_nn_chain.argtypes = [
@@ -120,6 +121,7 @@ def dtw_batch_cpu(
     auto_widen: bool = True,
     normalize: str = "none",
     n_threads: int = 0,       # 0 = all cores, 1 = single-core baseline
+    band_mode: str = "widen",
 ) -> np.ndarray:
     """Native CPU batched DTW — the Rust-reference-equivalent baseline."""
     lib = get_lib()
@@ -151,6 +153,7 @@ def dtw_batch_cpu(
         int(auto_widen),
         1 if normalize == "path_len" else 0,
         n_threads,
+        1 if band_mode == "diag" else 0,
     )
     return out
 

@@ -82,12 +82,13 @@ def _segment_scan(Cs, carry, corner, rows: int, with_dirs: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("rows", "metric", "band", "auto_widen", "with_dirs"),
+    static_argnames=("rows", "metric", "band", "auto_widen", "with_dirs",
+                     "band_mode"),
 )
 def _segment_pass(
     a, b, len_a, len_b, carry, corner, s0, *,
     rows: int, metric: str, band: int | None, auto_widen: bool,
-    with_dirs: bool,
+    with_dirs: bool, band_mode: str = "widen",
 ):
     """Cost + validity for absolute rows [s0, s0+rows), then the scan."""
     M = b.shape[1]
@@ -100,7 +101,13 @@ def _segment_pass(
     la = len_a[None, :, None]
     lb = len_b[None, :, None]
     valid = (i_abs >= s0) & (i_abs < la) & (j < lb) & (k - j >= 0) & (k - j < rows)
-    if band is not None:
+    if band is not None and band_mode == "diag":
+        # Scaled corridor (oracle/dtw.py); exact int32 predicate.
+        den = la - 1
+        num = lb - 1
+        r = jnp.int32(max(int(band), 1))
+        valid &= jnp.abs(j * den - i_abs * num) <= r * jnp.maximum(den, num)
+    elif band is not None:
         w = jnp.int32(band)
         if auto_widen:
             w = jnp.maximum(w, jnp.abs(la - lb))
@@ -125,6 +132,7 @@ def dtw_paths_checkpointed(
     band: int | None = None,
     auto_widen: bool = True,
     row_chunk: int | None = None,
+    band_mode: str = "widen",
 ) -> list[list[tuple[int, int]]]:
     """Exact warping paths for B pairs in O(B * row_chunk * M) device memory.
 
@@ -143,7 +151,8 @@ def dtw_paths_checkpointed(
         row_chunk = int(max(8, min(N, -(-int((8 * N) ** 0.5) // 8) * 8)))
     n_seg = -(-N // row_chunk)
 
-    common = dict(metric=metric, band=band, auto_widen=auto_widen)
+    common = dict(metric=metric, band=band, auto_widen=auto_widen,
+                  band_mode=band_mode)
 
     # Forward: store each segment's carry-in row.  Carries stay ON DEVICE
     # ([n_seg, B, M] f32 is tiny), so the forward loop enqueues all segment

@@ -106,26 +106,44 @@ def _validity_grid(
     len_b: jax.Array,        # [B]
     band: int | None,
     auto_widen: bool,
+    band_mode: str = "widen",
 ) -> jax.Array:
-    """[K, B, M] bool: cell (i=k-j, j) is inside both sequences and the band."""
+    """[K, B, M] bool: cell (i=k-j, j) is inside both sequences and the band.
+
+    `band_mode="diag"` uses the scaled Sakoe-Chiba corridor
+    |j*(la-1) - i*(lb-1)| <= max(band,1)*max(la-1, lb-1) (semantics and
+    properties: oracle/dtw.py module docstring).  The predicate is exact in
+    int32: products are bounded by (N-1)*(M-1) < 2^31 for every padded
+    length this framework routes here (<= 2^15 frames each side).
+    """
     k = jnp.arange(N + M - 1, dtype=jnp.int32)[:, None, None]   # [K, 1, 1]
     j = jnp.arange(M, dtype=jnp.int32)[None, None, :]           # [1, 1, M]
     i = k - j                                                   # [K, 1, M]
-    la = len_a[None, :, None]
-    lb = len_b[None, :, None]
+    la = len_a.astype(jnp.int32)[None, :, None]
+    lb = len_b.astype(jnp.int32)[None, :, None]
     valid = (i >= 0) & (i < la) & (j < lb)
-    if band is not None:
+    if band is None:
+        return valid
+    if band_mode == "diag":
+        den = la - 1
+        num = lb - 1
+        r = jnp.int32(max(int(band), 1))
+        valid &= jnp.abs(j * den - i * num) <= r * jnp.maximum(den, num)
+    elif band_mode == "widen":
         w = jnp.int32(band)
         if auto_widen:
             w = jnp.maximum(w, jnp.abs(la - lb))
         valid &= jnp.abs(i - j) <= w
+    else:
+        raise ValueError(f"unknown band_mode {band_mode!r}")
     return valid
 
 
 # ----------------------------------------------------------------- wavefront
 @partial(
     jax.jit,
-    static_argnames=("metric", "band", "auto_widen", "normalize", "matmul_dtype"),
+    static_argnames=("metric", "band", "auto_widen", "normalize", "matmul_dtype",
+                     "band_mode"),
 )
 def dtw_batch(
     a: jax.Array,            # [B, N, d] padded
@@ -138,6 +156,7 @@ def dtw_batch(
     auto_widen: bool = True,
     normalize: str = "none",
     matmul_dtype: str | None = None,
+    band_mode: str = "widen",
 ) -> jax.Array:
     """All B DTW distances in one device dispatch.  Returns [B] float32."""
     import chex
@@ -155,7 +174,7 @@ def dtw_batch(
     mm_dtype = jnp.bfloat16 if matmul_dtype == "bfloat16" else None
     C = pairwise_cost(a, b, metric, mm_dtype)                   # [B, N, M]
     Cs = _skew_to_diagonals(C)                                  # [K, B, M]
-    valid = _validity_grid(N, M, len_a, len_b, band, auto_widen)
+    valid = _validity_grid(N, M, len_a, len_b, band, auto_widen, band_mode)
     Cs = jnp.where(valid, Cs, INF)
 
     j_idx = jnp.arange(M, dtype=jnp.int32)[None, :]             # [1, M]
@@ -195,7 +214,8 @@ def dtw_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "band", "auto_widen", "normalize", "matmul_dtype"),
+    static_argnames=("metric", "band", "auto_widen", "normalize", "matmul_dtype",
+                     "band_mode"),
 )
 def dtw_batch_with_dirs(
     a: jax.Array,
@@ -208,6 +228,7 @@ def dtw_batch_with_dirs(
     auto_widen: bool = True,
     normalize: str = "none",
     matmul_dtype: str | None = None,
+    band_mode: str = "widen",
 ) -> tuple[jax.Array, jax.Array]:
     """Distances + per-cell step directions for backtrace.
 
@@ -223,7 +244,7 @@ def dtw_batch_with_dirs(
     mm_dtype = jnp.bfloat16 if matmul_dtype == "bfloat16" else None
     C = pairwise_cost(a, b, metric, mm_dtype)
     Cs = _skew_to_diagonals(C)
-    valid = _validity_grid(N, M, len_a, len_b, band, auto_widen)
+    valid = _validity_grid(N, M, len_a, len_b, band, auto_widen, band_mode)
     Cs = jnp.where(valid, Cs, INF)
 
     j_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
@@ -274,6 +295,7 @@ def dtw_pair(
     band: int | None = None,
     auto_widen: bool = True,
     normalize: str = "none",
+    band_mode: str = "widen",
 ) -> jax.Array:
     """Single unbatched pair (convenience / tests). a: [N, d], b: [M, d]."""
     a = jnp.atleast_2d(a)
@@ -287,4 +309,5 @@ def dtw_pair(
         band=band,
         auto_widen=auto_widen,
         normalize=normalize,
+        band_mode=band_mode,
     )[0]

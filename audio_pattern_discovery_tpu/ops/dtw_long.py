@@ -84,6 +84,7 @@ def dtw_block_kernel(
     band: int | None,
     band_width: jax.Array | None,   # [] traced band (>= |la-lb| if widened)
     matmul_dtype=None,
+    band_mode: str = "widen",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One DP block -> (bottom row [BLK], right col [BLK], hit value [], hit mask [])."""
     BLK = a_blk.shape[0]
@@ -92,7 +93,21 @@ def dtw_block_kernel(
     gj = col0 + jnp.arange(BLK, dtype=jnp.int32)                # [BLK]
     gi = row0 + jnp.arange(BLK, dtype=jnp.int32)                # [BLK]
     valid = (gi[:, None] < len_a) & (gj[None, :] < len_b)
-    if band is not None:
+    if band is not None and band_mode == "diag":
+        # Scaled corridor |j*(la-1) - i*(lb-1)| <= max(band,1)*max(la-1,lb-1)
+        # (oracle/dtw.py).  Products are computed in f32: exact below 2^24
+        # (la, lb <= 4096); past that the corridor EDGE can be off by one
+        # cell (corners stay exact — both products round identically), a
+        # documented fuzz far below the corridor width at such lengths.
+        den = (len_a - 1).astype(jnp.float32)
+        num = (len_b - 1).astype(jnp.float32)
+        r = float(max(int(band), 1))
+        lhs = jnp.abs(
+            gj[None, :].astype(jnp.float32) * den
+            - gi[:, None].astype(jnp.float32) * num
+        )
+        valid &= lhs <= r * jnp.maximum(den, num)
+    elif band is not None:
         valid &= jnp.abs(gi[:, None] - gj[None, :]) <= band_width
     c_tile = jnp.where(valid, c_tile, INF)
 
@@ -134,6 +149,7 @@ def dtw_block_kernel(
         "normalize",
         "block",
         "matmul_dtype",
+        "band_mode",
     ),
 )
 def dtw_long_batch(
@@ -148,6 +164,7 @@ def dtw_long_batch(
     normalize: str = "none",
     block: int = 256,
     matmul_dtype: str | None = None,
+    band_mode: str = "widen",
 ) -> jax.Array:
     """Batched DTW over long padded sequences; boundary-only memory.
 
@@ -191,6 +208,7 @@ def dtw_long_batch(
             band=band,
             band_width=bw_,
             matmul_dtype=mm_dtype,
+            band_mode=band_mode,
         )
 
     slot_block = jax.vmap(

@@ -1711,3 +1711,323 @@ def dtw_tile_lane_pairs(
     )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
       lengths.astype(jnp.int32), a_aug, b_flip, lb_t)
     return out[:, :, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# DIAG-corridor lane kernel (round 4): the scaled Sakoe-Chiba band.
+#
+# Why: under the "widen" semantic a pair with length difference dd needs a
+# stripe of 2*max(band,dd)+2 sublanes, so the bench corpus's length spread
+# put ~73% of modeled device time into wv=39/71 classes (BASELINE.md round-4
+# ledger).  The "diag" semantic (oracle/dtw.py module docstring) replaces
+# the widened band with the classical corridor around the corner-to-corner
+# diagonal,
+#
+#     valid(i, j)  iff  |j*(la-1) - i*(lb-1)| <= max(band,1)*max(la-1, lb-1),
+#
+# whose per-row live width is O(band * max(1, lb/la)) — independent of
+# |la-lb|.  The kernel keeps the lane-packed layout (pairs on lanes, stripe
+# on sublanes) and SHEARS the stripe frame along a shared per-program center
+# line c(i) = round(i * (lbm-1)/(la-1)), where lbm is a host-provided
+# representative length of the B tile: slot s of DP row i holds column
+# j = c(i) + s - off.  Per-pair divergence from the shared center is bounded
+# by the B tile's length spread (the A length is exact per program), which
+# the class function folds into the static stripe width.
+#
+# Frame algebra vs the straight lane kernel: between rows the center
+# advances by k_i = c(i) - c(i-1) in {0..kmax}, so the carry realignment is
+# up[s] = prev[s+k] instead of prev[s+1]; diag follows as one more +1 shift
+# of up.  k is a traced scalar, selected over the class-static kmax with
+# masked rolls (the Mosaic-friendly idiom).  Everything else — the min-plus
+# row scan, seam absorption, the d+1 scalar-vector FMA cost build — is the
+# lane kernel's, unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _dtw_lane_diag_kernel(
+    ti_map_ref,  # scalar-prefetch [U] i32
+    tj_map_ref,  # scalar-prefetch [U] i32
+    lens_ref,    # scalar-prefetch [K] i32 (whole corpus lengths, SMEM)
+    lbm_ref,     # scalar-prefetch [nT] i32 (per-tile representative length)
+    a_ref,       # SMEM [1, d+1, S] f32: channels (-2a | sqa), time-minor
+    b_ref,       # VMEM [1, d+1, SPs, ti] f32: (b | sqb), TIME ON SUBLANES
+    lb_ref,      # VMEM [1, 8, ti] i32 (lengths 8-replicated on sublanes)
+    out_ref,     # [1, 1, 8, ti] f32 (8-replicated sublane dim, see wrapper)
+    *,
+    d: int,
+    band: int,
+    metric: str,
+    rows: int,
+    width: int,       # W_s, 8-multiple (class-static)
+    off: int,
+    padl: int,
+    scan_steps: int,
+    kmax: int,        # class-static bound on the per-row center step
+    unroll_rows: int,
+):
+    """One A-row x ti diag-corridor DTWs.  Contracts: `rows` >= this A-row's
+    length; the class width/kmax statically cover every REAL pair's corridor
+    (wv >= band*max(1,slope) + |lb - lbm| + rounding, kmax >= ceil(slope));
+    out-of-frame pairs come back +inf (extraction slot outside [0, W_s))."""
+    W = width
+    TI = b_ref.shape[3]
+    la = lens_ref[ti_map_ref[pl.program_id(0)] * TI + pl.program_id(1)]
+    numm = lbm_ref[tj_map_ref[pl.program_id(0)]] - 1    # scalar i32 >= 0
+    den_t = la - 1                                      # true; 0 when la == 1
+    den = jnp.maximum(den_t, 1)                         # for the center division
+    half = den // 2
+    lb = lb_ref[0, 0:1, :]                              # [1, TI]
+    num = lb - 1                                        # [1, TI]
+    r = int(max(int(band), 1))
+    thresh = r * jnp.maximum(den_t, num)                # [1, TI]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    # Corner slot: c(la-1) = numm exactly, so s* = (lb-1) - numm + off.
+    ex = sub == (lb - 1 - numm + off)                   # [W, TI]
+
+    def center(i):
+        # round(i * numm / den) as floor((i*numm + den//2)/den); clamped to
+        # numm so dead rows (i >= la in a taller class) keep the dynamic
+        # B slice in range and k at 0.
+        return jnp.minimum((i * numm + half) // den, numm)
+
+    def build_row(i, csh):
+        base = csh + padl - off
+        acc = b_ref[0, d, pl.ds(base, W), :]            # sqb  [W, TI]
+        acc = acc + a_ref[0, d, i]                      # + sqa (scalar)
+        for c in range(d):                              # + -2a.b
+            acc = acc + a_ref[0, c, i] * b_ref[0, c, pl.ds(base, W), :]
+        j = csh + sub - off                             # [W, 1]
+        # Exact-int corridor predicate: |j*den_t - i*num| <= r*max(den_t,num).
+        # i32 products stay < 2^25 at S=4096 (j <= S+W, i < S).
+        corr = jnp.abs(j * den_t - i * num) <= thresh   # [W, TI]
+        valid = (j >= 0) & (j < lb) & (i < la) & corr
+        if metric == "cosine":
+            cost = 1.0 - acc
+        else:
+            sq = jnp.maximum(acc, 0.0)
+            cost = jnp.sqrt(sq) if metric == "euclidean" else sq
+        return jnp.where(valid, cost, INF)
+
+    def row_step(i, k, c, prev, out):
+        # Carry realignment for a center step of k: up[s] = prev[s+k]
+        # (k == 1 reduces to the straight lane kernel's frame).  The traced
+        # k selects among kmax+1 masked rolls; out-of-range k (possible only
+        # for pad programs, never extracted) leaves up at +inf.
+        up = jnp.full_like(prev, INF)
+        for t in range(kmax + 1):
+            if t == 0:
+                cand = prev
+            else:
+                cand = jnp.where(
+                    sub < W - t, pltpu.roll(prev, W - t, axis=0), INF
+                )
+            up = jnp.where(k == t, cand, up)
+        # diag[s] = prev[s+k-1] = up[s-1].
+        diag = jnp.where(sub >= 1, pltpu.roll(up, 1, axis=0), INF)
+        e = c + jnp.minimum(diag, up)
+        ee, cc = e, c
+        for t in range(scan_steps):
+            sh = 1 << t
+            m = sub >= sh
+            ee = jnp.where(
+                m, jnp.minimum(ee, pltpu.roll(ee, sh, axis=0) + cc), ee
+            )
+            if t < scan_steps - 1:
+                cc = jnp.where(m, cc + pltpu.roll(cc, sh, axis=0), cc)
+        return ee, jnp.where((i == la - 1) & ex, ee, out)
+
+    UR = unroll_rows
+    while UR > 1 and rows % UR:
+        UR //= 2
+
+    def row_body(i0, carry):
+        prev, out, csh_prev = carry
+        for kk in range(UR):
+            i = i0 * UR + kk
+            csh = center(i)
+            k = csh - csh_prev
+            prev, out = row_step(i, k, build_row(i, csh), prev, out)
+            csh_prev = csh
+        return prev, out, csh_prev
+
+    init = (
+        jnp.where(
+            jnp.broadcast_to(sub, (W, TI)) == off,
+            0.0,
+            jnp.full((W, TI), INF),
+        ),
+        jnp.full((W, TI), INF),
+        # Virtual row -1 center: c(-1) = -1 puts D[-1,-1] = 0 at slot off
+        # and makes k_0 = center(0) + 1 = 1, the straight frame's first step.
+        jnp.int32(-1),
+    )
+    _, out_acc, _ = jax.lax.fori_loop(0, rows // UR, row_body, init)
+    out_ref[0, 0, :, :] = jnp.broadcast_to(
+        jnp.min(out_acc, axis=0, keepdims=True), (8, TI)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ti", "band", "metric", "rows", "wv_max", "kmax",
+                     "unroll_rows", "interpret"),
+)
+def dtw_tile_lane_diag_pairs(
+    feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
+    lengths,      # [K] i32 (pad entries: length 1)
+    tile_rep,     # [nT] i32 representative B length per tile (pad tiles: 1)
+    ti_idx,       # [U] i32 tile-row indices
+    tj_idx,       # [U] i32 tile-col indices
+    *,
+    ti: int,
+    band: int,
+    wv_max: int,
+    kmax: int,
+    metric: str = "euclidean",
+    rows: int | None = None,
+    unroll_rows: int = 8,
+    interpret: bool = False,
+):
+    """Diag-corridor DTW distances for U tile-pairs -> [U, ti, ti] blocks
+    (band_mode="diag" semantics; oracle/dtw.py).  Layout and output contract
+    are dtw_tile_lane_pairs'; `wv_max` bounds the per-class stripe
+    half-width (band*max(1,slope) + B-tile length spread + rounding) and
+    `kmax` the per-row center step (ceil(slope)), both STATIC class
+    contracts computed by the pair scheduler — bounds below a real pair's
+    requirement surface as +inf (out-of-frame), never truncated distances,
+    exactly like the straight lane kernel's wv contract."""
+    import chex
+
+    chex.assert_rank(feats, 3)
+    chex.assert_rank([lengths, tile_rep, ti_idx, tj_idx], 1)
+    K, S, d = feats.shape
+    if K % ti:
+        raise ValueError(f"K={K} must be padded to a multiple of ti={ti}")
+    if band is None:
+        raise ValueError("lane kernel requires a band")
+    wv_max = max(int(band), int(wv_max))
+    off = wv_max + 1
+    W = 8 * -(-(2 * wv_max + 2) // 8)
+    padl = 8 * -(-off // 8)
+    SPs = padl + S + W
+    scan_steps = int(max(1, (2 * wv_max).bit_length()))
+    rows = S if rows is None else min(rows, S)
+    kmax = int(max(1, kmax))
+
+    f32 = feats.astype(jnp.float32)
+    if metric == "cosine":
+        f32 = f32 / jnp.maximum(
+            jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12
+        )
+        a_ch = jnp.transpose(f32, (0, 2, 1))             # [K, d, S]
+        sq_a = jnp.zeros((K, 1, S))
+        b_ch, sq_b = a_ch, jnp.zeros((K, 1, S))
+    else:
+        sq = jnp.sum(f32 * f32, axis=2)[:, None, :]      # [K, 1, S]
+        a_ch = jnp.transpose(-2.0 * f32, (0, 2, 1))
+        sq_a = sq
+        b_ch = jnp.transpose(f32, (0, 2, 1))
+        sq_b = sq
+    a_aug = jnp.concatenate([a_ch, sq_a], axis=1)        # [K, d+1, S]
+    nT = K // ti
+    b_aug = jnp.concatenate([b_ch, sq_b], axis=1)        # [K, d+1, S]
+    b_aug = jnp.pad(b_aug, ((0, 0), (0, 0), (padl, W)))  # [K, d+1, SPs]
+    b_flip = jnp.transpose(
+        b_aug.reshape(nT, ti, d + 1, SPs), (0, 2, 3, 1)
+    )                                                    # [nT, d+1, SPs, ti]
+    lb_t = jnp.broadcast_to(
+        lengths.astype(jnp.int32).reshape(nT, 1, ti), (nT, 8, ti)
+    )
+    U = ti_idx.shape[0]
+
+    kernel = partial(
+        _dtw_lane_diag_kernel, d=d, band=int(band), metric=metric,
+        rows=rows, width=W, off=off, padl=padl, scan_steps=scan_steps,
+        kmax=kmax, unroll_rows=unroll_rows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(U, ti),
+        in_specs=[
+            pl.BlockSpec(
+                (1, d + 1, S),
+                lambda u, r, im, jm, lp, bm: (im[u] * ti + r, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, d + 1, SPs, ti),
+                lambda u, r, im, jm, lp, bm: (jm[u], 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, ti), lambda u, r, im, jm, lp, bm: (jm[u], 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, ti), lambda u, r, im, jm, lp, bm: (u, r, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=jax.ShapeDtypeStruct((U, ti, 8, ti), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * U * ti * ti * rows * W * (d + scan_steps + kmax) // ti,
+            bytes_accessed=U * (d + 1) * (S + SPs * ti) * 4 + U * ti * ti * 4,
+            transcendentals=U * ti * rows * W * ti
+            if metric == "euclidean" else 0,
+        ),
+        interpret=interpret,
+    )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
+      lengths.astype(jnp.int32), tile_rep.astype(jnp.int32),
+      a_aug, b_flip, lb_t)
+    return out[:, :, 0, :]
+
+
+def diag_class_bounds(
+    band: int,
+    tmin_i: int,
+    tmax_i: int,
+    tmin_j: int,
+    tmax_j: int,
+) -> tuple[int, int]:
+    """(wv_req, kmax) static contracts of _dtw_lane_diag_kernel for a
+    tile-pair whose REAL lengths lie in [tmin_i, tmax_i] x [tmin_j, tmax_j]
+    with tile_rep = (tmin_j + tmax_j + 1) // 2.
+
+    Derivation (single source of truth; scheduler, bench and tests all call
+    this): for a pair (la, lb) the corridor's offset from the shared center
+    line obeys
+        |j - c_sh(i)| <= r*max(1, (lb-1)/(la-1))   (corridor half-width)
+                       + |lb - lbm|                 (B-spread divergence)
+                       + 1                          (center rounding),
+    and the per-row center step obeys k_i <= ceil((lbm-1)/(la-1)).  Both
+    are maximized at la = tmin_i, lb/lbm extremes of the J range; +1 slack
+    on wv absorbs the stripe frame's one-slot asymmetry.
+    """
+    r = max(int(band), 1)
+    den_min = max(int(tmin_i) - 1, 1)
+    num_max = max(int(tmax_j) - 1, 0)
+    lbm = (int(tmin_j) + int(tmax_j) + 1) // 2
+    corridor = -(-r * max(den_min, num_max) // den_min)   # ceil
+    spread = max(int(tmax_j) - lbm, lbm - int(tmin_j), 0)
+    wv_req = corridor + spread + 2
+    kmax = max(1, -(-max(lbm - 1, 0) // den_min))
+    return wv_req, kmax
+
+
+def tile_rep_lengths(lens_sorted: "np.ndarray", nT: int, ti: int,
+                     n_real: int) -> "np.ndarray":
+    """[nT] representative B length per tile (mid-range of REAL entries;
+    all-pad tiles fall back to the raw range), the `tile_rep` input of
+    dtw_tile_lane_diag_pairs.  Must match diag_class_bounds' lbm."""
+    rep = np.empty(nT, np.int32)
+    for t in range(nT):
+        real = lens_sorted[t * ti : min((t + 1) * ti, n_real)]
+        if len(real) == 0:
+            real = lens_sorted[t * ti : (t + 1) * ti]
+        rep[t] = (int(real.min()) + int(real.max()) + 1) // 2
+    return rep

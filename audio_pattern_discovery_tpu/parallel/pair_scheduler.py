@@ -36,7 +36,9 @@ from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
 from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
 from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     MAX_KERNEL_SEQ_LEN,
+    diag_class_bounds,
     dtw_batch_pallas,
+    dtw_tile_lane_diag_pairs,
     dtw_tile_lane_pairs,
     dtw_tile_pairs,
     dtw_tile_stripe_pairs,
@@ -44,6 +46,7 @@ from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     pallas_supported,
     scan_len_diff_classes,
     tile_geometry,
+    tile_rep_lengths,
     tile_stripe_geometry,
 )
 
@@ -188,6 +191,7 @@ def enumerate_pair_blocks(
         "matmul_dtype",
         "use_pallas",
         "max_len_diff",
+        "band_mode",
     ),
 )
 def _dtw_block(
@@ -205,6 +209,7 @@ def _dtw_block(
     matmul_dtype: str | None,
     use_pallas: bool,
     max_len_diff: int | None = None,
+    band_mode: str = "widen",
 ) -> jax.Array:
     # Pairs arrive shorter-first; the kernel's sequential row loop runs only
     # row_cap (<= bucket) steps, the main latency saving of the orientation.
@@ -213,6 +218,11 @@ def _dtw_block(
     la = lengths[ii]
     lb = lengths[jj]
     if use_pallas:
+        # The per-pair Mosaic kernels implement "widen" only; diag-banded
+        # jobs ride the lane kernel through the tiled scheduler, and their
+        # legacy fallback is the pure-JAX path (caller passes
+        # use_pallas=False).
+        assert band_mode == "widen", band_mode
         return dtw_batch_pallas(
             a,
             b,
@@ -242,6 +252,7 @@ def _dtw_block(
             normalize=normalize,
             block=blk,
             matmul_dtype=matmul_dtype,
+            band_mode=band_mode,
         )
     return dtw_batch(
         a,
@@ -253,6 +264,7 @@ def _dtw_block(
         auto_widen=auto_widen,
         normalize=normalize,
         matmul_dtype=matmul_dtype,
+        band_mode=band_mode,
     )
 
 
@@ -289,7 +301,8 @@ def _cfg_tag(cfg: DTWConfig, features: np.ndarray, lengths: np.ndarray) -> bytes
     tensor (any feature-affecting change perturbs essentially all values)."""
     h = hashlib.sha1(
         repr(
-            (cfg.metric, cfg.band, cfg.auto_widen_band, cfg.normalize, cfg.dtype)
+            (cfg.metric, cfg.band, cfg.auto_widen_band, cfg.normalize,
+             cfg.dtype, cfg.band_mode)
         ).encode()
     )
     h.update(repr(features.shape).encode())
@@ -382,13 +395,19 @@ def _lane_route(
 ) -> int | None:
     """Tile size for the LANE-PACKED kernel if the whole job can ride it
     (banded, S <= 4096, SMEM/VMEM in range), else None.  Gates on the
-    corpus-global widened half-width like _stripe_route."""
+    corpus-global worst-class stripe width: widened half-width in "widen"
+    mode, diag_class_bounds at the global length extremes in "diag" mode
+    (every tile-pair's class is narrower; narrower always fits)."""
     if cfg.band is None or not len(lengths):
         return None
     Lp = 128 * -(-L // 128)
-    wv = int(cfg.band)
-    if cfg.auto_widen_band:
-        wv = max(wv, int(lengths.max()) - int(lengths.min()))
+    if getattr(cfg, "band_mode", "widen") == "diag":
+        lo, hi = int(lengths.min()), int(lengths.max())
+        wv, _ = diag_class_bounds(int(cfg.band), lo, hi, lo, hi)
+    else:
+        wv = int(cfg.band)
+        if cfg.auto_widen_band:
+            wv = max(wv, int(lengths.max()) - int(lengths.min()))
     return lane_geometry(Lp, d, _ws_width(min(wv, Lp)))
 
 
@@ -456,8 +475,46 @@ def make_tile_stripe_class_fn(
     return pair_class
 
 
+def make_tile_lane_diag_class_fn(
+    lens_sorted: np.ndarray,   # [nT*ti] lengths in tile order (pad: 1)
+    nT: int,
+    ti: int,
+    Lp: int,
+    band: int,
+    n_real: int,
+) -> Callable[[int, int], tuple[int, int, int]]:
+    """(I, J) tile-pair -> (rows_cls, wv_cls, kmax_cls) for the
+    diag-corridor lane kernel (band_mode="diag").
+
+    wv/kmax come from diag_class_bounds over the tile-pair's REAL length
+    ranges (pad entries excluded, as in make_tile_stripe_class_fn); wv is
+    quantized UP on the lane ladder (_ws_level) and kmax to the next power
+    of two, so each distinct key is one compiled executable.  All three
+    components are >=-monotone contracts of dtw_tile_lane_diag_pairs, so
+    _merge_thin_classes' elementwise-max merging stays correct.
+    """
+    tmin = np.empty(nT, np.int64)
+    tmax = np.empty(nT, np.int64)
+    for t in range(nT):
+        real = lens_sorted[t * ti : min((t + 1) * ti, n_real)]
+        if len(real) == 0:
+            real = lens_sorted[t * ti : (t + 1) * ti]
+        tmin[t], tmax[t] = real.min(), real.max()
+    rq = max(16, Lp // 8)
+
+    def pair_class(i: int, j: int) -> tuple[int, int, int]:
+        rows_cls = min(Lp, rq * -(-int(tmax[i]) // rq))
+        wv_req, kmax = diag_class_bounds(
+            band, int(tmin[i]), int(tmax[i]), int(tmin[j]), int(tmax[j])
+        )
+        kq = 1 << max(0, (kmax - 1).bit_length())
+        return rows_cls, _ws_level(min(wv_req, Lp)), kq
+
+    return pair_class
+
+
 def _merge_thin_classes(
-    by_class: dict[tuple[int, int], list],
+    by_class: dict[tuple[int, ...], list],
     min_programs: int = 16,
     max_merge_cost: int = 400_000,
 ) -> None:
@@ -489,8 +546,11 @@ def _merge_thin_classes(
     """
 
     def t(cls, n):
-        r, s = cls
-        return n * r * (3 + s)
+        # Crude device-time model: programs * rows * (3 + scan-ish key).
+        # Extra key components (the diag classes' kmax) add linearly —
+        # they cost one masked roll per DP row each.
+        r, s = cls[0], cls[1]
+        return n * r * (3 + s + sum(cls[2:]))
 
     while len(by_class) > 1:
         thin = [c for c in by_class if len(by_class[c]) < min_programs]
@@ -501,7 +561,7 @@ def _merge_thin_classes(
             for other in by_class:
                 if other == small:
                     continue
-                m = (max(small[0], other[0]), max(small[1], other[1]))
+                m = tuple(map(max, small, other))
                 cost = (
                     t(m, len(by_class[small]))
                     - t(small, len(by_class[small]))
@@ -513,7 +573,7 @@ def _merge_thin_classes(
         if best[0] > max_merge_cost:
             return
         _, small, target = best
-        m = (max(small[0], target[0]), max(small[1], target[1]))
+        m = tuple(map(max, small, target))
         merged = by_class.pop(small) + by_class.pop(target)
         by_class.setdefault(m, []).extend(merged)
 
@@ -598,6 +658,15 @@ def all_pairs_distances_tiled(
         f"tile kernels out of range for L={L}, d={d}, band={cfg.band}"
     )
     ti, su, sv = geom
+    diag = cfg.band is not None and getattr(cfg, "band_mode", "widen") == "diag"
+    if diag and not lane:
+        # Only the lane kernel implements the diag corridor; the router
+        # (all_pairs_distances) sends non-lane-eligible diag jobs to the
+        # legacy pure-JAX path instead of here.
+        raise ValueError(
+            "band_mode='diag' requires the lane route in the tiled "
+            f"scheduler (L={L}, d={d}, band={cfg.band})"
+        )
 
     Kp = -(-K // ti) * ti
     # Sort sequences by length: tiles then hold near-constant lengths, so
@@ -672,7 +741,14 @@ def all_pairs_distances_tiled(
         np.asarray(fd[0, 0, 0])
     upload_s = time.perf_counter() - t_up
 
-    if lane:
+    rep_dev = None
+    if lane and diag:
+        pair_class = make_tile_lane_diag_class_fn(
+            lens_p, nT, ti, Lp, int(cfg.band), K
+        )
+        tile_rep = tile_rep_lengths(lens_p, nT, ti, K)
+        rep_dev = [jax.device_put(jnp.asarray(tile_rep), dv) for dv in devices]
+    elif lane:
         pair_class = make_tile_stripe_class_fn(
             lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band, K,
             level_fn=_ws_level,
@@ -722,13 +798,16 @@ def all_pairs_distances_tiled(
     # while pow2 keeps the padding under 2x and the compiled-U shapes to a
     # handful, cached persistently).  Pad entries repeat the last tile-pair;
     # duplicate scatters are idempotent.
-    by_class: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    by_class: dict[tuple[int, ...], list[tuple[int, int]]] = {}
     for pij in pairs_list:
         by_class.setdefault(pair_class(*pij), []).append(pij)
     _merge_thin_classes(by_class)
     stats["tile_classes"] = len(by_class)
-    chunks: list[tuple[np.ndarray, np.ndarray, int, int]] = []
-    for (rows_cls, scan_cls), plist in sorted(by_class.items()):
+    # Chunk entries carry the full class key: (rows, scan) for the square
+    # tile route, (rows, wv_level) for stripe/lane, (rows, wv_level, kmax)
+    # for the diag lane route.
+    chunks: list[tuple[np.ndarray, np.ndarray, tuple[int, ...]]] = []
+    for cls, plist in sorted(by_class.items()):
         for s in range(0, len(plist), chunk_programs):
             part = plist[s : s + chunk_programs]
             u = 1 << max(0, (len(part) - 1).bit_length())
@@ -736,7 +815,7 @@ def all_pairs_distances_tiled(
                 part = part + [part[-1]]
             ii = np.array([p[0] for p in part], np.int32)
             jj = np.array([p[1] for p in part], np.int32)
-            chunks.append((ii, jj, rows_cls, scan_cls))
+            chunks.append((ii, jj, cls))
 
     done_programs = 0
     total_programs = len(pairs_list)
@@ -877,12 +956,14 @@ def all_pairs_distances_tiled(
     # scatter error) must still put(None)/join() or it leaks one daemon
     # scatter thread per failed call, each pinning this closure's K x K D.
     try:
-        for ci, (ii, jj, rows_cls, scan_cls) in enumerate(chunks):
+        for ci, (ii, jj, cls) in enumerate(chunks):
+            rows_cls, scan_cls = cls[0], cls[1]
             stats["blocks"] += 1
             path = None
             if block_dir is not None:
+                cls_tag = "|".join(str(c) for c in cls)
                 path = block_dir / (
-                    _block_key(ii, jj, cfg_tag + f"|{rows_cls}|{scan_cls}".encode())
+                    _block_key(ii, jj, cfg_tag + f"|{cls_tag}".encode())
                     + ".npz"
                 )
                 if path.exists():
@@ -892,7 +973,17 @@ def all_pairs_distances_tiled(
             di = ci % len(devices)
             stats["device_blocks"][di] += 1
 
-            if lane:
+            if lane and diag:
+                def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                             wv_cls=scan_cls, kmax_cls=cls[2]):
+                    return dtw_tile_lane_diag_pairs(
+                        feats_dev[di], lens_dev[di], rep_dev[di],
+                        jnp.asarray(ii), jnp.asarray(jj),
+                        ti=ti, band=cfg.band, wv_max=wv_cls, kmax=kmax_cls,
+                        metric=cfg.metric, rows=rows_cls,
+                        interpret=interpret,
+                    )
+            elif lane:
                 def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
                              wv_cls=scan_cls):
                     return dtw_tile_lane_pairs(
@@ -1010,6 +1101,7 @@ def all_pairs_distances(
     # bfloat16 matmul_dtype keeps the legacy path: the square/stripe tile
     # kernels are HIGHEST-only by design (the lane kernel's VPU build
     # needs no precision knob at all).
+    diag = cfg.band is not None and getattr(cfg, "band_mode", "widen") == "diag"
     if tiled is None:
         tiled = bool(
             cfg.use_pallas
@@ -1018,9 +1110,14 @@ def all_pairs_distances(
             and cfg.dtype != "bfloat16"
             and (
                 _lane_route(L, features.shape[2], lengths, cfg) is not None
-                or tile_geometry(L, features.shape[2]) is not None
-                or _stripe_route(L, features.shape[2], lengths, cfg)
-                is not None
+                or (
+                    not diag
+                    and (
+                        tile_geometry(L, features.shape[2]) is not None
+                        or _stripe_route(L, features.shape[2], lengths, cfg)
+                        is not None
+                    )
+                )
             )
         )
     if tiled:
@@ -1095,6 +1192,7 @@ def all_pairs_distances(
             stripe_ok = bool(
                 cfg.use_pallas
                 and _on_tpu()
+                and not diag
                 and pallas_supported(bucket, cfg.band, cfg.auto_widen_band, mld)
             )
             if bucket > MAX_KERNEL_SEQ_LEN and not stripe_ok:
@@ -1171,6 +1269,7 @@ def all_pairs_distances(
         use_pallas = bool(
             cfg.use_pallas
             and _on_tpu()
+            and not diag
             and pallas_supported(bucket, cfg.band, cfg.auto_widen_band, mld)
         )
         di = bi % len(devices)
@@ -1194,6 +1293,7 @@ def all_pairs_distances(
                 or (cfg.dtype if cfg.dtype == "bfloat16" else None),
                 use_pallas=use_pallas,
                 max_len_diff=mld,
+                band_mode=getattr(cfg, "band_mode", "widen") if diag else "widen",
             )
 
         stats["pad_pairs"] += B_blk - len(ii)

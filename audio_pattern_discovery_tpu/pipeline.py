@@ -901,6 +901,7 @@ def _cluster_alignments(
             metric=cfg.dtw.metric,
             band=cfg.dtw.band,
             auto_widen=cfg.dtw.auto_widen_band,
+            band_mode=cfg.dtw.band_mode,
         )
         return {m: p for m, p in zip(others, paths)}
 
@@ -930,6 +931,7 @@ def _cluster_alignments(
             metric=cfg.dtw.metric,
             band=cfg.dtw.band,
             auto_widen=cfg.dtw.auto_widen_band,
+            band_mode=cfg.dtw.band_mode,
         )
         paths.extend(paths_from_dirs(np.asarray(dirs)[:m], la[:m], lb[:m]))
     return {m: p for m, p in zip(others, paths)}

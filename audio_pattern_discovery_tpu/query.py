@@ -60,6 +60,7 @@ def spot_check_prior_distances(
             band=cfg.band,
             auto_widen=cfg.auto_widen_band,
             normalize=cfg.normalize,
+            band_mode=getattr(cfg, "band_mode", "widen"),
         )
     )
     want = D_old[ii, jj]

@@ -328,7 +328,73 @@ def main() -> int:
                 tdrain(o)
             windows.append((time.perf_counter() - t0) / TPU_ITERS)
         log(
-            "lane kernel pipelined windows: "
+            "widen-mode lane kernel pipelined windows: "
+            + ", ".join(f"{tile_pairs_n / w:,.0f}" for w in windows)
+            + " pairs/s (band_mode=widen comparison)"
+        )
+
+        # ---- headline: DIAG-corridor lane kernel (production path) ------
+        # band_mode="diag" is the DTWConfig default since round 4: the
+        # scaled corridor keeps every class's stripe at O(band * ratio)
+        # sublanes instead of O(|la-lb|), collapsing the wide wv classes
+        # that dominated the widen-mode device time (BASELINE.md round-4).
+        from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+            dtw_tile_lane_diag_pairs,
+            tile_rep_lengths,
+        )
+        from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
+            make_tile_lane_diag_class_fn,
+        )
+
+        diag_class = make_tile_lane_diag_class_fn(
+            lens_s, nT, ti, SEQ_LEN, BAND, K
+        )
+        rep = jnp.asarray(tile_rep_lengths(lens_s, nT, ti, K))
+        diag_by: dict = {}
+        for i, j in all_pairs:
+            diag_by.setdefault(diag_class(i, j), []).append((i, j))
+        _merge_thin_classes(diag_by)
+        dcls_of = {p: c for c, ps in diag_by.items() for p in ps}
+        dgroups: dict = {}
+        for p in pairs:
+            dgroups.setdefault(dcls_of[p], []).append(p)
+        dparts = [
+            (
+                cls,
+                jnp.asarray(np.array([p[0] for p in ps], np.int32)),
+                jnp.asarray(np.array([p[1] for p in ps], np.int32)),
+            )
+            for cls, ps in sorted(dgroups.items())
+        ]
+        log("diag lane classes: " + ", ".join(
+            f"rows={c[0]} wv={c[1]} kmax={c[2]}: {len(ii)} tile-pairs"
+            for c, ii, jjj in dparts
+        ))
+
+        def drun():
+            return [
+                dtw_tile_lane_diag_pairs(
+                    feats, lens, rep, ii, jjc, ti=ti, band=BAND,
+                    wv_max=cls[1], kmax=cls[2], rows=cls[0],
+                )
+                for cls, ii, jjc in dparts
+            ]
+
+        t0 = time.perf_counter()
+        tdrain(drun())
+        log(f"diag lane kernel compile+warm: {time.perf_counter() - t0:.1f}s")
+        outs = [drun() for _ in range(2)]
+        for o in outs:
+            tdrain(o)
+        windows = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            outs = [drun() for _ in range(TPU_ITERS)]
+            for o in outs:
+                tdrain(o)
+            windows.append((time.perf_counter() - t0) / TPU_ITERS)
+        log(
+            "diag lane kernel pipelined windows: "
             + ", ".join(f"{tile_pairs_n / w:,.0f}" for w in windows)
             + " pairs/s (reporting best)"
         )
@@ -345,9 +411,13 @@ def main() -> int:
             jnp.asarray(la_np[:small]),
             jnp.asarray(lb_np[:small]),
         )
-        np.asarray(dtw_batch(*args, band=BAND, normalize="path_len"))
+        np.asarray(
+            dtw_batch(*args, band=BAND, normalize="path_len", band_mode="diag")
+        )
         t0 = time.perf_counter()
-        np.asarray(dtw_batch(*args, band=BAND, normalize="path_len"))
+        np.asarray(
+            dtw_batch(*args, band=BAND, normalize="path_len", band_mode="diag")
+        )
         device_s = (time.perf_counter() - t0) * (BATCH / small)
         BATCH_EFF = BATCH
 
@@ -409,7 +479,7 @@ def main() -> int:
         sl = slice(0, CPU_PAIRS)
         native.dtw_batch_cpu(  # warm
             a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
-            band=BAND, normalize="path_len", n_threads=1,
+            band=BAND, normalize="path_len", n_threads=1, band_mode="diag",
         )
         # Best of 3: the shared host vCPU throttles 3-10x in bad windows
         # (measured 4.4k-18k pairs/s for identical work across one day);
@@ -420,6 +490,7 @@ def main() -> int:
             native.dtw_batch_cpu(
                 a_np[sl], b_np[sl], la_np[sl], lb_np[sl],
                 band=BAND, normalize="path_len", n_threads=1,
+                band_mode="diag",
             )
             cpu_s = min(cpu_s, time.perf_counter() - t0)
         cpu_pairs_per_sec = CPU_PAIRS / cpu_s
@@ -433,11 +504,13 @@ def main() -> int:
             native.dtw_batch_cpu(  # warm (thread pool spin-up)
                 a_np[slm], b_np[slm], la_np[slm], lb_np[slm],
                 band=BAND, normalize="path_len", n_threads=0,
+                band_mode="diag",
             )
             t0 = time.perf_counter()
             native.dtw_batch_cpu(
                 a_np[slm], b_np[slm], la_np[slm], lb_np[slm],
                 band=BAND, normalize="path_len", n_threads=0,
+                band_mode="diag",
             )
             mt_pairs_per_sec = mt_pairs / (time.perf_counter() - t0)
             log(

@@ -53,17 +53,38 @@ static inline float frame_cost(const float* a, const float* b, int d, int metric
 
 // Single-pair DTW with Sakoe-Chiba band; rolling two-row buffers (O(M) mem).
 // band < 0 disables the band.  Matches oracle/dtw.py semantics exactly.
+// band_mode: 0 = "widen" (|i-j| <= max(band, |n-m|)), 1 = "diag" (the scaled
+// corridor |j*(n-1) - i*(m-1)| <= max(band,1)*max(n-1, m-1); exact int64
+// row bounds, same predicate as oracle/dtw.py band_valid).
 float apd_dtw_pair(const float* a, const float* b, int n, int m, int d,
-                   int band, int metric, int auto_widen) {
+                   int band, int metric, int auto_widen, int band_mode) {
   const float INF = std::numeric_limits<float>::infinity();
   if (n <= 0 || m <= 0) return INF;  // no feasible path (matches the jnp path)
   int w = band < 0 ? std::max(n, m) : band;
   if (band >= 0 && auto_widen) w = std::max(w, std::abs(n - m));
+  const int64_t den = n - 1, num = m - 1;
+  const int64_t rmx =
+      (int64_t)std::max(band, 1) * std::max(den, num);  // diag threshold
 
   std::vector<float> prev(m, INF), cur(m, INF);
   for (int i = 0; i < n; ++i) {
-    int jlo = std::max(0, i - w);
-    int jhi = std::min(m - 1, i + w);
+    int jlo, jhi;
+    if (band >= 0 && band_mode == 1) {
+      if (den == 0) {
+        jlo = 0;
+        jhi = m - 1;  // 1 x m grid: every cell is on the corridor
+      } else {
+        // |j*den - i*num| <= rmx  ->  j in [ceil((i*num - rmx)/den),
+        //                                   floor((i*num + rmx)/den)]
+        int64_t lo = (int64_t)i * num - rmx;
+        int64_t hi = (int64_t)i * num + rmx;
+        jlo = (int)std::max<int64_t>(0, (lo + den - 1) / den);
+        jhi = (int)std::min<int64_t>(m - 1, hi / den);
+      }
+    } else {
+      jlo = std::max(0, i - w);
+      jhi = std::min(m - 1, i + w);
+    }
     std::fill(cur.begin(), cur.end(), INF);
     for (int j = jlo; j <= jhi; ++j) {
       float c = frame_cost(a + (size_t)i * d, b + (size_t)j * d, d, metric);
@@ -87,7 +108,7 @@ float apd_dtw_pair(const float* a, const float* b, int n, int m, int d,
 void apd_dtw_batch(const float* a, const float* b, const int32_t* len_a,
                    const int32_t* len_b, float* out, int B, int S, int d,
                    int band, int metric, int auto_widen, int normalize,
-                   int n_threads) {
+                   int n_threads, int band_mode) {
 #ifdef _OPENMP
   int nt = n_threads > 0 ? n_threads : omp_get_max_threads();
 #pragma omp parallel for schedule(dynamic) num_threads(nt)
@@ -95,8 +116,8 @@ void apd_dtw_batch(const float* a, const float* b, const int32_t* len_a,
   for (int p = 0; p < B; ++p) {
     const float* ap = a + (size_t)p * S * d;
     const float* bp = b + (size_t)p * S * d;
-    float dist =
-        apd_dtw_pair(ap, bp, len_a[p], len_b[p], d, band, metric, auto_widen);
+    float dist = apd_dtw_pair(ap, bp, len_a[p], len_b[p], d, band, metric,
+                              auto_widen, band_mode);
     if (normalize == 1) dist /= (float)(len_a[p] + len_b[p]);
     out[p] = dist;
   }

@@ -86,7 +86,7 @@ def test_pipeline_uses_checkpointed_path_for_long_sequences(rng, monkeypatch):
     lb = lengths[np.asarray([1, 2, 3, 4])]
     want = _one_shot_paths(
         feats[np.full(4, 0)], feats[[1, 2, 3, 4]], la, lb,
-        band=16,
+        band=16, band_mode=cfg.dtw.band_mode,
     )
     for m, p in zip([1, 2, 3, 4], want):
         assert got[m] == p

@@ -116,7 +116,7 @@ def test_tiled_scheduler_matches_legacy():
     feats, lengths = _mk(40, seed=3)
     feats_np = np.asarray(feats)
     lengths_np = np.asarray(lengths)
-    cfg = DTWConfig(band=8, normalize="path_len")
+    cfg = DTWConfig(band=8, normalize="path_len", band_mode="widen")
     D_legacy = all_pairs_distances(feats_np, lengths_np, cfg, tiled=False)
     D_tiled = all_pairs_distances_tiled(
         feats_np, lengths_np, cfg, interpret=True, geometry=(TI, SU, SV),
@@ -134,7 +134,7 @@ def test_tiled_scheduler_resume(tmp_path):
     )
 
     feats, lengths = _mk(40, seed=4)
-    cfg = DTWConfig(band=8)
+    cfg = DTWConfig(band=8, band_mode="widen")
     stats1: dict = {}
     D1 = all_pairs_distances_tiled(
         np.asarray(feats), np.asarray(lengths), cfg, interpret=True,
@@ -346,7 +346,7 @@ def test_scatter_strategies_identical(monkeypatch):
     from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
 
     feats, lengths = _mk(40, seed=9)
-    cfg = DTWConfig(band=8, normalize="path_len")
+    cfg = DTWConfig(band=8, normalize="path_len", band_mode="widen")
     D_direct = ps.all_pairs_distances_tiled(
         np.asarray(feats), np.asarray(lengths), cfg, interpret=True,
         geometry=(TI, SU, SV),
@@ -367,7 +367,7 @@ def test_threaded_scatter_identical(monkeypatch, tmp_path):
     from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
 
     feats, lengths = _mk(40, seed=11)
-    cfg = DTWConfig(band=8, normalize="path_len")
+    cfg = DTWConfig(band=8, normalize="path_len", band_mode="widen")
     kw = dict(interpret=True, geometry=(TI, SU, SV))
     bdir = tmp_path / "blocks"
     D_thr = ps.all_pairs_distances_tiled(
@@ -393,7 +393,7 @@ def test_threaded_scatter_error_propagates():
     from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
 
     feats, lengths = _mk(40, seed=12)
-    cfg = DTWConfig(band=8, normalize="path_len")
+    cfg = DTWConfig(band=8, normalize="path_len", band_mode="widen")
 
     def boom(*a, **k):
         raise RuntimeError("scatter boom")
@@ -422,7 +422,7 @@ def test_tiled_scheduler_known_pairs_update():
 
     feats, lengths = _mk(40, seed=5)
     feats_np, lengths_np = np.asarray(feats), np.asarray(lengths)
-    cfg = DTWConfig(band=8, normalize="path_len")
+    cfg = DTWConfig(band=8, normalize="path_len", band_mode="widen")
     D_full = all_pairs_distances_tiled(
         feats_np, lengths_np, cfg, interpret=True, geometry=(TI, SU, SV),
     )
@@ -484,7 +484,7 @@ def test_failed_tiled_job_does_not_leak_scatter_thread(monkeypatch):
 
     feats, lengths = _mk(40, seed=5)
     feats_np, lengths_np = np.asarray(feats), np.asarray(lengths)
-    cfg = DTWConfig(band=8)
+    cfg = DTWConfig(band=8, band_mode="widen")
 
     def boom(*a, **kw):
         raise RuntimeError("injected dispatch failure")

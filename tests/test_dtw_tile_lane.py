@@ -200,7 +200,7 @@ def test_lane_scheduler_matches_legacy():
 
     feats, lengths = _mk(20, seed=7)
     feats_np, lengths_np = np.asarray(feats), np.asarray(lengths)
-    cfg = DTWConfig(band=16, normalize="path_len")
+    cfg = DTWConfig(band=16, normalize="path_len", band_mode="widen")
     D_legacy = all_pairs_distances(feats_np, lengths_np, cfg, tiled=False)
     stats: dict = {}
     D_tiled = all_pairs_distances_tiled(
@@ -242,7 +242,7 @@ def test_lane_scheduler_resume(tmp_path):
     )
 
     feats, lengths = _mk(20, seed=8)
-    cfg = DTWConfig(band=16)
+    cfg = DTWConfig(band=16, band_mode="widen")
     stats1: dict = {}
     D1 = all_pairs_distances_tiled(
         np.asarray(feats), np.asarray(lengths), cfg, interpret=True,

@@ -194,7 +194,7 @@ def test_tile_stripe_scheduler_matches_legacy():
 
     feats, lengths = _mk(20, seed=7)
     feats_np, lengths_np = np.asarray(feats), np.asarray(lengths)
-    cfg = DTWConfig(band=16, normalize="path_len")
+    cfg = DTWConfig(band=16, normalize="path_len", band_mode="widen")
     D_legacy = all_pairs_distances(feats_np, lengths_np, cfg, tiled=False)
     stats: dict = {}
     D_tiled = all_pairs_distances_tiled(
@@ -247,14 +247,14 @@ def test_stripe_route_gating():
     )
 
     lens = np.array([480, 500, 512], np.int32)
-    assert _stripe_route(512, 8, lens, DTWConfig(band=16)) is not None
+    assert _stripe_route(512, 8, lens, DTWConfig(band=16, band_mode="widen")) is not None
     # no band -> no stripe
     assert _stripe_route(512, 8, lens, DTWConfig(band=None)) is None
     # square-tile territory
-    assert _stripe_route(256, 8, lens, DTWConfig(band=16)) is None
+    assert _stripe_route(256, 8, lens, DTWConfig(band=16, band_mode="widen")) is None
     # a corpus-wide spread ~S blows the stripe past the row width
     wide = np.array([10, 500], np.int32)
-    assert _stripe_route(512, 8, wide, DTWConfig(band=16)) is None
+    assert _stripe_route(512, 8, wide, DTWConfig(band=16, band_mode="widen")) is None
 
 
 def test_tile_stripe_scheduler_resume(tmp_path):
@@ -266,7 +266,7 @@ def test_tile_stripe_scheduler_resume(tmp_path):
     )
 
     feats, lengths = _mk(20, seed=8)
-    cfg = DTWConfig(band=16)
+    cfg = DTWConfig(band=16, band_mode="widen")
     stats1: dict = {}
     D1 = all_pairs_distances_tiled(
         np.asarray(feats), np.asarray(lengths), cfg, interpret=True,

@@ -145,3 +145,29 @@ def test_dtw_batch_cpu_empty_sequence_is_inf(rng):
         a, a, np.array([0], np.int32), np.array([8], np.int32)
     )
     assert np.isinf(out[0])
+
+
+def test_native_dtw_diag_matches_oracle():
+    native = pytest.importorskip("audio_pattern_discovery_tpu.native")
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from audio_pattern_discovery_tpu.oracle.dtw import dtw_oracle
+
+    rng = np.random.default_rng(21)
+    B, S, d = 12, 40, 4
+    a = rng.normal(0, 1, (B, S, d)).astype(np.float32)
+    b = rng.normal(0, 1, (B, S, d)).astype(np.float32)
+    la = rng.integers(1, S + 1, B).astype(np.int32)
+    lb = rng.integers(1, S + 1, B).astype(np.int32)
+    got = native.dtw_batch_cpu(
+        a, b, la, lb, band=4, normalize="path_len", n_threads=1,
+        band_mode="diag",
+    )
+    for k in range(B):
+        ref = dtw_oracle(
+            a[k, : la[k]], b[k, : lb[k]], band=4, band_mode="diag",
+            normalize="path_len",
+        )
+        assert np.isclose(got[k], ref, rtol=1e-4, atol=1e-5), (
+            k, la[k], lb[k], got[k], ref,
+        )

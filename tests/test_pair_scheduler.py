@@ -109,9 +109,10 @@ def test_block_checkpoint_invalidated_by_feature_change(rng, tmp_path):
     np.testing.assert_allclose(D2, D2_fresh, rtol=1e-6)
 
 
-def test_banded_all_pairs(rng):
+@pytest.mark.parametrize("band_mode", ["widen", "diag"])
+def test_banded_all_pairs(rng, band_mode):
     feats, lengths = _features(rng, K=6, L=40)
-    cfg = DTWConfig(pair_batch=4, max_seq_len=40, band=6)
+    cfg = DTWConfig(pair_batch=4, max_seq_len=40, band=6, band_mode=band_mode)
     D = all_pairs_distances(feats, lengths, cfg, bucket_step=8)
     for i in range(6):
         for j in range(i + 1, 6):
@@ -120,6 +121,7 @@ def test_banded_all_pairs(rng):
                 feats[j, : lengths[j]],
                 band=6,
                 normalize="path_len",
+                band_mode=band_mode,
             )
             np.testing.assert_allclose(D[i, j], want, rtol=1e-3, atol=1e-3)
 
@@ -166,19 +168,21 @@ def test_block_retry_exhausted_raises(rng, monkeypatch):
         all_pairs_distances(feats, lengths, cfg, bucket_step=8, max_retries=1)
 
 
-def test_overlong_bucket_routes_to_blocked_path(rng):
-    """Buckets beyond the Pallas VMEM ceiling use the blocked long-DTW."""
+@pytest.mark.parametrize("band_mode", ["widen", "diag"])
+def test_overlong_bucket_routes_to_blocked_path(rng, band_mode):
+    """Buckets beyond the Pallas VMEM ceiling use the blocked long-DTW
+    (both band semantics: the diag corridor mask lives in dtw_long too)."""
     K, L = 5, 1088  # > MAX_KERNEL_SEQ_LEN = 1024
     lengths = rng.integers(1040, L + 1, K).astype(np.int32)
     feats = rng.normal(0, 1, (K, L, 3)).astype(np.float32)
     cfg = DTWConfig(pair_batch=4, max_seq_len=L, band=24, use_pallas=False,
-                    length_bucketing=False)
+                    length_bucketing=False, band_mode=band_mode)
     D = all_pairs_distances(feats, lengths, cfg)
     for i in range(K):
         for j in range(i + 1, K):
             want = dtw_oracle(
                 feats[i, : lengths[i]], feats[j, : lengths[j]],
-                band=24, normalize="path_len",
+                band=24, normalize="path_len", band_mode=band_mode,
             )
             np.testing.assert_allclose(D[i, j], want, rtol=1e-3, atol=1e-3)
 

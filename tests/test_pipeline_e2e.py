@@ -271,6 +271,7 @@ def test_cluster_alignments_chunked_matches_one_shot(monkeypatch):
         metric=cfg.dtw.metric,
         band=cfg.dtw.band,
         auto_widen=cfg.dtw.auto_widen_band,
+        band_mode=cfg.dtw.band_mode,
     )
     want = paths_from_dirs(np.asarray(dirs), la, lb)
     assert set(got) == set(others)

@@ -63,7 +63,9 @@ def test_all_pairs_tiled_multi_device_matches_single(rng):
     )
 
     feats, lengths = _features(rng, K=40, L=32)
-    cfg = DTWConfig(band=8)
+    # widen mode: this test drives the square tile route (geometry su/sv);
+    # the diag default routes banded jobs to the lane kernel instead.
+    cfg = DTWConfig(band=8, band_mode="widen")
     geom = (16, 4, 8)
     D1 = all_pairs_distances_tiled(
         feats, lengths, cfg, interpret=True, geometry=geom, chunk_programs=2
