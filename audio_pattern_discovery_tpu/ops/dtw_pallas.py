@@ -1764,6 +1764,7 @@ def _dtw_lane_diag_kernel(
     scan_steps: int,
     kmax: int,        # class-static bound on the per-row center step
     unroll_rows: int,
+    dyn_roll: bool,
 ):
     """One A-row x ti diag-corridor DTWs.  Contracts: `rows` >= this A-row's
     length; the class width/kmax statically cover every REAL pair's corridor
@@ -1811,18 +1812,26 @@ def _dtw_lane_diag_kernel(
 
     def row_step(i, k, c, prev, out):
         # Carry realignment for a center step of k: up[s] = prev[s+k]
-        # (k == 1 reduces to the straight lane kernel's frame).  The traced
-        # k selects among kmax+1 masked rolls; out-of-range k (possible only
-        # for pad programs, never extracted) leaves up at +inf.
-        up = jnp.full_like(prev, INF)
-        for t in range(kmax + 1):
-            if t == 0:
-                cand = prev
-            else:
-                cand = jnp.where(
-                    sub < W - t, pltpu.roll(prev, W - t, axis=0), INF
-                )
-            up = jnp.where(k == t, cand, up)
+        # (k == 1 reduces to the straight lane kernel's frame).
+        if dyn_roll:
+            # Mosaic lowers a TRACED roll shift on the sublane axis
+            # (hardware-verified round 4); one roll replaces the kmax+1
+            # masked-roll select chain.  Shift (W - k) % W realigns by -k;
+            # the mask absorbs the wrap (and any out-of-range k from pad
+            # programs, whose rows are never extracted).
+            up = jnp.where(
+                sub < W - k, pltpu.roll(prev, (W - k) % W, axis=0), INF
+            )
+        else:
+            up = jnp.full_like(prev, INF)
+            for t in range(kmax + 1):
+                if t == 0:
+                    cand = prev
+                else:
+                    cand = jnp.where(
+                        sub < W - t, pltpu.roll(prev, W - t, axis=0), INF
+                    )
+                up = jnp.where(k == t, cand, up)
         # diag[s] = prev[s+k-1] = up[s-1].
         diag = jnp.where(sub >= 1, pltpu.roll(up, 1, axis=0), INF)
         e = c + jnp.minimum(diag, up)
@@ -1871,7 +1880,7 @@ def _dtw_lane_diag_kernel(
 @partial(
     jax.jit,
     static_argnames=("ti", "band", "metric", "rows", "wv_max", "kmax",
-                     "unroll_rows", "interpret"),
+                     "unroll_rows", "interpret", "dyn_roll"),
 )
 def dtw_tile_lane_diag_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -1883,20 +1892,24 @@ def dtw_tile_lane_diag_pairs(
     ti: int,
     band: int,
     wv_max: int,
-    kmax: int,
+    kmax: int = 1,
     metric: str = "euclidean",
     rows: int | None = None,
     unroll_rows: int = 8,
     interpret: bool = False,
+    dyn_roll: bool = True,
 ):
     """Diag-corridor DTW distances for U tile-pairs -> [U, ti, ti] blocks
     (band_mode="diag" semantics; oracle/dtw.py).  Layout and output contract
     are dtw_tile_lane_pairs'; `wv_max` bounds the per-class stripe
-    half-width (band*max(1,slope) + B-tile length spread + rounding) and
-    `kmax` the per-row center step (ceil(slope)), both STATIC class
-    contracts computed by the pair scheduler — bounds below a real pair's
-    requirement surface as +inf (out-of-frame), never truncated distances,
-    exactly like the straight lane kernel's wv contract."""
+    half-width (band*max(1,slope) + B-tile length spread + rounding), a
+    STATIC class contract computed by the pair scheduler — bounds below a
+    real pair's requirement surface as +inf (out-of-frame), never truncated
+    distances, exactly like the straight lane kernel's wv contract.
+    `kmax` (the static per-row center-step bound, ceil(slope)) matters only
+    under dyn_roll=False, where the carry realignment is a kmax-deep select
+    chain; the default dynamic-shift roll needs no bound (measured +9% on
+    the v5e and exact on both backends)."""
     import chex
 
     chex.assert_rank(feats, 3)
@@ -1944,7 +1957,7 @@ def dtw_tile_lane_diag_pairs(
     kernel = partial(
         _dtw_lane_diag_kernel, d=d, band=int(band), metric=metric,
         rows=rows, width=W, off=off, padl=padl, scan_steps=scan_steps,
-        kmax=kmax, unroll_rows=unroll_rows,
+        kmax=kmax, unroll_rows=unroll_rows, dyn_roll=dyn_roll,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -482,15 +482,17 @@ def make_tile_lane_diag_class_fn(
     Lp: int,
     band: int,
     n_real: int,
-) -> Callable[[int, int], tuple[int, int, int]]:
-    """(I, J) tile-pair -> (rows_cls, wv_cls, kmax_cls) for the
-    diag-corridor lane kernel (band_mode="diag").
+) -> Callable[[int, int], tuple[int, int]]:
+    """(I, J) tile-pair -> (rows_cls, wv_cls) for the diag-corridor lane
+    kernel (band_mode="diag").
 
-    wv/kmax come from diag_class_bounds over the tile-pair's REAL length
-    ranges (pad entries excluded, as in make_tile_stripe_class_fn); wv is
-    quantized UP on the lane ladder (_ws_level) and kmax to the next power
-    of two, so each distinct key is one compiled executable.  All three
-    components are >=-monotone contracts of dtw_tile_lane_diag_pairs, so
+    wv comes from diag_class_bounds over the tile-pair's REAL length
+    ranges (pad entries excluded, as in make_tile_stripe_class_fn),
+    quantized UP on the lane ladder (_ws_level) so each distinct key is
+    one compiled executable.  kmax is NOT in the key: the kernel realigns
+    its carry with a dynamic-shift roll (dyn_roll, hardware-verified +9%
+    over the kmax-static select chain), so the center step needs no
+    static bound.  Both components are >=-monotone contracts, so
     _merge_thin_classes' elementwise-max merging stays correct.
     """
     tmin = np.empty(nT, np.int64)
@@ -502,13 +504,12 @@ def make_tile_lane_diag_class_fn(
         tmin[t], tmax[t] = real.min(), real.max()
     rq = max(16, Lp // 8)
 
-    def pair_class(i: int, j: int) -> tuple[int, int, int]:
+    def pair_class(i: int, j: int) -> tuple[int, int]:
         rows_cls = min(Lp, rq * -(-int(tmax[i]) // rq))
-        wv_req, kmax = diag_class_bounds(
+        wv_req, _ = diag_class_bounds(
             band, int(tmin[i]), int(tmax[i]), int(tmin[j]), int(tmax[j])
         )
-        kq = 1 << max(0, (kmax - 1).bit_length())
-        return rows_cls, _ws_level(min(wv_req, Lp)), kq
+        return rows_cls, _ws_level(min(wv_req, Lp))
 
     return pair_class
 
@@ -804,8 +805,7 @@ def all_pairs_distances_tiled(
     _merge_thin_classes(by_class)
     stats["tile_classes"] = len(by_class)
     # Chunk entries carry the full class key: (rows, scan) for the square
-    # tile route, (rows, wv_level) for stripe/lane, (rows, wv_level, kmax)
-    # for the diag lane route.
+    # tile route, (rows, wv_level) for the stripe/lane/diag routes.
     chunks: list[tuple[np.ndarray, np.ndarray, tuple[int, ...]]] = []
     for cls, plist in sorted(by_class.items()):
         for s in range(0, len(plist), chunk_programs):
@@ -975,11 +975,11 @@ def all_pairs_distances_tiled(
 
             if lane and diag:
                 def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
-                             wv_cls=scan_cls, kmax_cls=cls[2]):
+                             wv_cls=scan_cls):
                     return dtw_tile_lane_diag_pairs(
                         feats_dev[di], lens_dev[di], rep_dev[di],
                         jnp.asarray(ii), jnp.asarray(jj),
-                        ti=ti, band=cfg.band, wv_max=wv_cls, kmax=kmax_cls,
+                        ti=ti, band=cfg.band, wv_max=wv_cls,
                         metric=cfg.metric, rows=rows_cls,
                         interpret=interpret,
                     )

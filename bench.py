@@ -367,7 +367,7 @@ def main() -> int:
             for cls, ps in sorted(dgroups.items())
         ]
         log("diag lane classes: " + ", ".join(
-            f"rows={c[0]} wv={c[1]} kmax={c[2]}: {len(ii)} tile-pairs"
+            f"rows={c[0]} wv={c[1]}: {len(ii)} tile-pairs"
             for c, ii, jjj in dparts
         ))
 
@@ -375,7 +375,7 @@ def main() -> int:
             return [
                 dtw_tile_lane_diag_pairs(
                     feats, lens, rep, ii, jjc, ti=ti, band=BAND,
-                    wv_max=cls[1], kmax=cls[2], rows=cls[0],
+                    wv_max=cls[1], rows=cls[0],
                 )
                 for cls, ii, jjc in dparts
             ]

@@ -340,3 +340,36 @@ def test_diag_router_prefers_lane_then_legacy(monkeypatch):
         ps.all_pairs_distances_tiled(
             feats, lens, cfg, interpret=True, geometry=(8, 4, 8), lane=False,
         )
+
+
+def test_lane_diag_chain_fallback_matches_dyn_roll():
+    # dyn_roll=False (the kmax-static select chain) must be value-identical
+    # to the default dynamic-shift realignment.
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
+        dtw_tile_lane_diag_pairs,
+        tile_rep_lengths,
+    )
+
+    rng = np.random.default_rng(15)
+    K, S, d, ti, band = 8, 64, 3, 4, 4
+    lens = np.sort(rng.integers(12, 61, K)).astype(np.int32)
+    feats = rng.normal(0, 1, (K, S, d)).astype(np.float32)
+    rep = tile_rep_lengths(lens, 2, ti, K)
+    wv, kmax = diag_class_bounds(
+        band, int(lens[:ti].min()), int(lens[:ti].max()),
+        int(lens[ti:].min()), int(lens[ti:].max()),
+    )
+    kw = dict(ti=ti, band=band, wv_max=wv, rows=int(lens[:ti].max()),
+              interpret=True)
+    a = np.asarray(dtw_tile_lane_diag_pairs(
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(rep),
+        jnp.asarray([0], np.int32), jnp.asarray([1], np.int32),
+        dyn_roll=True, **kw))
+    b = np.asarray(dtw_tile_lane_diag_pairs(
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(rep),
+        jnp.asarray([0], np.int32), jnp.asarray([1], np.int32),
+        dyn_roll=False, kmax=kmax, **kw))
+    np.testing.assert_array_equal(a, b)

@@ -180,3 +180,112 @@ def test_lane_kernel_throughput_floor(rng):
             np.asarray(o)
         best = max(best, 3 * n / (time.perf_counter() - t0))
     assert best >= floor, f"lane kernel {best:,.0f} pairs/s < floor {floor:,.0f}"
+
+
+@pytest.mark.tpu
+def test_kernel_ratio_gates(rng):
+    """Weather-immune regression gates (VERDICT r3 item 6): the lane and
+    square-tile ALL-PAIRS kernels are timed back-to-back against the legacy
+    per-pair square kernel IN ONE PROCESS, so tunnel weather multiplies
+    both sides and cancels in the ratio.  Healthy ratios on the v5e:
+    lane/legacy ~6-8x, tile/legacy ~2.5-3x (BASELINE.md rounds 3-4); the
+    3x / 1.5x floors catch a 2x kernel regression in ANY weather window
+    where the absolute floors would still pass.
+
+    Proof-of-catch: APD_PERF_INJECT_SLOWDOWN=2 dispatches the all-pairs
+    kernels that many extra times per timed window (a synthetic N-x
+    slowdown); the gate must then FAIL (exercised by
+    test_ratio_gate_catches_injected_slowdown below, which expects the
+    failure without burning a second process).
+    """
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_batch_pallas,
+        dtw_tile_lane_pairs,
+        dtw_tile_pairs,
+        tile_geometry,
+    )
+
+    lane_floor = float(os.environ.get("APD_PERF_RATIO_LANE", 3.0))
+    tile_floor = float(os.environ.get("APD_PERF_RATIO_TILE", 1.5))
+    inject = int(os.environ.get("APD_PERF_INJECT_SLOWDOWN", 1))
+
+    S, d, ti = 128, 16, 128
+    K = 9 * ti
+    feats = jnp.asarray(rng.normal(0, 1, (K, S, d)).astype(np.float32))
+    lens_np = rng.integers(S - 16, S + 1, K).astype(np.int32)
+    lens = jnp.asarray(lens_np)
+    pairs = [(i, j) for i in range(9) for j in range(i + 1, 9)]
+    ii = jnp.asarray(np.array([p[0] for p in pairs[:32]], np.int32))
+    jj = jnp.asarray(np.array([p[1] for p in pairs[:32]], np.int32))
+    n_tile = 32 * ti * ti
+
+    B = 8_192
+    pa = feats[:B // 2]
+    pb = feats[B // 2: B]
+    pla = lens[:B // 2]
+    plb = lens[B // 2: B]
+    n_pp = B // 2
+
+    ti_g, su, sv = tile_geometry(S)
+    assert ti_g == ti
+
+    def run_legacy():
+        return [dtw_batch_pallas(pa, pb, pla, plb, band=16,
+                                 normalize="path_len", max_len_diff=16)]
+
+    def run_lane():
+        return [
+            dtw_tile_lane_pairs(feats, lens, ii, jj, ti=ti, band=16,
+                                wv_max=16)
+            for _ in range(inject)
+        ]
+
+    def run_tile():
+        return [
+            dtw_tile_pairs(feats, lens, ii, jj, ti=ti, su=su, sv=sv, band=16)
+            for _ in range(inject)
+        ]
+
+    def rate(run, n):
+        for o in run():          # compile + warm
+            np.asarray(o)
+        for _ in range(2):
+            for o in run():
+                np.asarray(o)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(3)]
+            for og in outs:
+                for o in og:
+                    np.asarray(o)
+            best = max(best, 3 * n / (time.perf_counter() - t0))
+        return best
+
+    # Interleave: legacy measured in the SAME windows bracketing the
+    # all-pairs kernels, so a mid-test weather shift cannot fake a ratio.
+    legacy1 = rate(run_legacy, n_pp)
+    lane = rate(run_lane, n_tile)
+    tile = rate(run_tile, n_tile)
+    legacy2 = rate(run_legacy, n_pp)
+    legacy = max(legacy1, legacy2)
+
+    assert lane >= lane_floor * legacy, (
+        f"lane/legacy ratio {lane / legacy:.2f} < {lane_floor} "
+        f"(lane {lane:,.0f}, legacy {legacy:,.0f} pairs/s)"
+    )
+    assert tile >= tile_floor * legacy, (
+        f"tile/legacy ratio {tile / legacy:.2f} < {tile_floor} "
+        f"(tile {tile:,.0f}, legacy {legacy:,.0f} pairs/s)"
+    )
+
+
+@pytest.mark.tpu
+def test_ratio_gate_catches_injected_slowdown(rng, monkeypatch):
+    """Prove the ratio gate trips on a synthetic 4x all-pairs slowdown
+    (VERDICT r3 item 6's done bar, without a separate one-off process)."""
+    monkeypatch.setenv("APD_PERF_INJECT_SLOWDOWN", "4")
+    with pytest.raises(AssertionError, match="ratio"):
+        test_kernel_ratio_gates(rng)

@@ -54,7 +54,12 @@ def main() -> int:
     feats = jnp.asarray(feats_np)
     np.asarray(feats[0, 0, 0])
     log(f"corpus upload: {feats_np.nbytes / 1e6:.0f} MB in {time.time() - t0:.1f}s")
-    cfg = DTWConfig(band=BAND, pair_batch=PAIR_BATCH, max_seq_len=SEQ_LEN)
+    # APD_SCALE_BAND_MODE overrides the band semantics for A/B runs
+    # (default: the production DTWConfig default, diag since round 4).
+    band_mode = os.environ.get("APD_SCALE_BAND_MODE", "")
+    cfg = DTWConfig(band=BAND, pair_batch=PAIR_BATCH, max_seq_len=SEQ_LEN,
+                    **({"band_mode": band_mode} if band_mode else {}))
+    log(f"band_mode: {cfg.band_mode}")
 
     n_pairs = N_SEQ * (N_SEQ - 1) // 2
     t_last = [time.time()]
