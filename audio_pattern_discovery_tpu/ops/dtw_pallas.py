@@ -2044,3 +2044,245 @@ def tile_rep_lengths(lens_sorted: "np.ndarray", nT: int, ti: int,
             real = lens_sorted[t * ti : (t + 1) * ti]
         rep[t] = (int(real.min()) + int(real.max()) + 1) // 2
     return rep
+
+
+# ---------------------------------------------------------------------------
+# FULL-WIDTH (unbanded) lane kernel (round 4): the default config's fast
+# path past S=256.
+#
+# Why: `dtw.band=None` is the production DEFAULT, yet through round 3 an
+# unbanded job at S>256 fell off every all-pairs tile kernel onto the
+# per-pair square kernel (S<=1024, HBM-bound at ~16 KB/pair of gathers) or
+# blocked dtw_long — 10-100x off the lane rates (VERDICT r3 item 3).  The
+# exact unbanded DP needs no corridor machinery at all: drop the shear and
+# let stripe slot s BE column j.  The frame is then trivially static —
+# up[s] = prev[s] (no realignment roll), diag[s] = prev[s-1] — and the
+# only new cost is the horizontal min-plus scan spanning the full row,
+# log2(W) steps instead of log2(2*band).  Work is exactly the la x lb DP
+# rectangle with the SHORTER sequence on rows (the scheduler's length sort
+# makes the A tile the shorter side), B stays VMEM-resident and amortized
+# over ti pairs, and W is a per-class 8-granular prefix of the B tile —
+# short classes neither load nor scan the dead tail.  Same +inf
+# out-of-frame contract as every lane kernel: a pair whose lb exceeds the
+# class width never extracts (out stays +inf), it is a class-fn bug
+# surfacing loudly, not a truncated distance.
+# ---------------------------------------------------------------------------
+
+
+def lane_full_geometry(
+    seq_len: int,
+    feat_dim: int | None,
+    width: int | None,
+) -> int | None:
+    """Tile size (always 128: the lane dim) for the FULL-WIDTH lane kernel,
+    or None when the shape is out of range.  `width` is the job's WIDEST
+    class stripe (8-multiple >= max real length).  Bounds mirror
+    lane_geometry: the per-row A block in SMEM (320 KB cap, hardware-
+    verified margin at S=4096, d=16) and the [d+1, width, 128] B tile
+    double-buffered under the 100 MiB Mosaic budget."""
+    if width is None or seq_len > MAX_STRIPE_SEQ_LEN:
+        return None
+    d = 8 if feat_dim is None else feat_dim
+    S = 128 * -(-seq_len // 128)
+    if (d + 1) * S * 4 > 320 * 1024:
+        return None
+    W = min(8 * -(-int(width) // 8), S)
+    if 2 * (d + 1) * W * 128 * 4 > 80 * 1024 * 1024:
+        return None
+    return 128
+
+
+def _dtw_lane_full_kernel(
+    ti_map_ref,  # scalar-prefetch [U] i32
+    tj_map_ref,  # scalar-prefetch [U] i32
+    lens_ref,    # scalar-prefetch [K] i32 (whole corpus lengths, SMEM)
+    a_ref,       # SMEM [1, d+1, S] f32: channels (-2a | sqa), time-minor
+    b_ref,       # VMEM [1, d+1, W, ti] f32: (b | sqb), TIME ON SUBLANES
+    lb_ref,      # VMEM [1, 8, ti] i32 (lengths 8-replicated on sublanes)
+    out_ref,     # [1, 1, 8, ti] f32 (8-replicated sublane dim, see wrapper)
+    *,
+    d: int,
+    metric: str,
+    rows: int,
+    width: int,       # W, 8-multiple (class-static, >= every real lb)
+    scan_steps: int,
+    unroll_rows: int,
+):
+    """One A-row x ti EXACT unbanded DTWs; stripe slot s of DP row i holds
+    column j = s (the unsheared frame).  Contracts: `rows` >= this A-row's
+    length, `width` >= every real pair's lb; shorter pairs mask their dead
+    columns to +inf and extract at slot lb-1 of row la-1."""
+    W = width
+    TI = b_ref.shape[3]
+    la = lens_ref[ti_map_ref[pl.program_id(0)] * TI + pl.program_id(1)]
+    del tj_map_ref
+    lb = lb_ref[0, 0:1, :]                               # [1, TI]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    col_ok = sub < lb                                    # [W, TI]
+    ex = sub == lb - 1                                   # extraction slot
+
+    def build_row(i):
+        acc = b_ref[0, d, :, :]                          # sqb  [W, TI]
+        acc = acc + a_ref[0, d, i]                       # + sqa (scalar)
+        for c in range(d):                               # + -2a.b
+            acc = acc + a_ref[0, c, i] * b_ref[0, c, :, :]
+        valid = col_ok & (i < la)
+        if metric == "cosine":
+            cost = 1.0 - acc
+        else:
+            sq = jnp.maximum(acc, 0.0)
+            cost = jnp.sqrt(sq) if metric == "euclidean" else sq
+        return jnp.where(valid, cost, INF)
+
+    def row_step(i, c, prev, out):
+        # The virtual start cell D[-1, -1] = 0 enters as row 0's diagonal
+        # predecessor at slot 0 (prev is +inf-initialized, so up/diag are
+        # +inf everywhere else on row 0 and the scan unrolls D[0, j] as the
+        # prefix sum of costs).
+        start = jnp.where((sub == 0) & (i == 0), 0.0, INF)
+        diag = jnp.minimum(
+            jnp.where(sub >= 1, pltpu.roll(prev, 1, axis=0), INF), start
+        )
+        e = c + jnp.minimum(diag, prev)                  # prev = up (D[i-1, j])
+        ee, cc = e, c
+        for t in range(scan_steps):
+            sh = 1 << t
+            m = sub >= sh
+            ee = jnp.where(
+                m, jnp.minimum(ee, pltpu.roll(ee, sh, axis=0) + cc), ee
+            )
+            if t < scan_steps - 1:
+                cc = jnp.where(m, cc + pltpu.roll(cc, sh, axis=0), cc)
+        return ee, jnp.where((i == la - 1) & ex, ee, out)
+
+    UR = unroll_rows
+    while UR > 1 and rows % UR:
+        UR //= 2
+
+    def row_body(i0, carry):
+        prev, out = carry
+        for k in range(UR):
+            i = i0 * UR + k
+            prev, out = row_step(i, build_row(i), prev, out)
+        return prev, out
+
+    init = (
+        jnp.full((W, TI), INF),
+        jnp.full((W, TI), INF),
+    )
+    _, out_acc = jax.lax.fori_loop(0, rows // UR, row_body, init)
+    out_ref[0, 0, :, :] = jnp.broadcast_to(
+        jnp.min(out_acc, axis=0, keepdims=True), (8, TI)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ti", "metric", "rows", "width", "unroll_rows",
+                     "interpret"),
+)
+def dtw_tile_lane_full_pairs(
+    feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
+    lengths,      # [K] i32 (pad entries: length 1)
+    ti_idx,       # [U] i32 tile-row indices
+    tj_idx,       # [U] i32 tile-col indices
+    *,
+    ti: int,
+    width: int,
+    metric: str = "euclidean",
+    rows: int | None = None,
+    unroll_rows: int = 8,
+    interpret: bool = False,
+):
+    """EXACT unbanded DTW distances for U tile-pairs -> [U, ti, ti] blocks
+    (band=None semantics; oracle/dtw.py), pairs packed on LANES and the
+    full DP row on SUBLANES.  `width` (8-multiple) must cover every real
+    pair's B length and `rows` every real A length — both STATIC class
+    contracts computed by the pair scheduler; shortfalls surface as +inf,
+    never truncated distances.  Output contract is dtw_tile_lane_pairs'.
+    On hardware `ti` must be a multiple of 128; tests use small ti in
+    interpret mode."""
+    import chex
+
+    chex.assert_rank(feats, 3)
+    chex.assert_rank([lengths, ti_idx, tj_idx], 1)
+    K, S, d = feats.shape
+    if K % ti:
+        raise ValueError(f"K={K} must be padded to a multiple of ti={ti}")
+    W = 8 * -(-int(width) // 8)
+    if W > S:
+        raise ValueError(f"width={width} exceeds the padded corpus S={S}")
+    scan_steps = int(max(1, (W - 1).bit_length()))
+    rows = S if rows is None else min(rows, S)
+
+    f32 = feats.astype(jnp.float32)
+    if metric == "cosine":
+        f32 = f32 / jnp.maximum(
+            jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12
+        )
+        a_ch = jnp.transpose(f32, (0, 2, 1))             # [K, d, S]
+        sq_a = jnp.zeros((K, 1, S))
+        b_ch, sq_b = a_ch, jnp.zeros((K, 1, S))
+    else:
+        sq = jnp.sum(f32 * f32, axis=2)[:, None, :]      # [K, 1, S]
+        a_ch = jnp.transpose(-2.0 * f32, (0, 2, 1))
+        sq_a = sq
+        b_ch = jnp.transpose(f32, (0, 2, 1))
+        sq_b = sq
+    a_aug = jnp.concatenate([a_ch, sq_a], axis=1)        # [K, d+1, S]
+    nT = K // ti
+    # B tile: time on SUBLANES, pair index on LANES.  Each class block
+    # reads only the first `width` sublanes (a prefix of the time axis) —
+    # narrow classes neither DMA nor scan the dead tail.
+    b_aug = jnp.concatenate([b_ch, sq_b], axis=1)        # [K, d+1, S]
+    b_flip = jnp.transpose(
+        b_aug.reshape(nT, ti, d + 1, S), (0, 2, 3, 1)
+    )                                                    # [nT, d+1, S, ti]
+    lb_t = jnp.broadcast_to(
+        lengths.astype(jnp.int32).reshape(nT, 1, ti), (nT, 8, ti)
+    )
+    U = ti_idx.shape[0]
+
+    kernel = partial(
+        _dtw_lane_full_kernel, d=d, metric=metric, rows=rows, width=W,
+        scan_steps=scan_steps, unroll_rows=unroll_rows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(U, ti),
+        in_specs=[
+            pl.BlockSpec(
+                (1, d + 1, S),
+                lambda u, r, im, jm, lp: (im[u] * ti + r, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, d + 1, W, ti),
+                lambda u, r, im, jm, lp: (jm[u], 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, ti), lambda u, r, im, jm, lp: (jm[u], 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, ti), lambda u, r, im, jm, lp: (u, r, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=jax.ShapeDtypeStruct((U, ti, 8, ti), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * U * ti * ti * rows * W * (d + scan_steps) // ti,
+            bytes_accessed=U * (d + 1) * (S + W * ti) * 4 + U * ti * ti * 4,
+            transcendentals=U * ti * rows * W * ti
+            if metric == "euclidean" else 0,
+        ),
+        interpret=interpret,
+    )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
+      lengths.astype(jnp.int32), a_aug, b_flip, lb_t)
+    return out[:, :, 0, :]

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audio_pattern_discovery_tpu import native
 from audio_pattern_discovery_tpu.config import DTWConfig
 from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
 from audio_pattern_discovery_tpu.ops.dtw_long import dtw_long_batch
@@ -39,9 +40,11 @@ from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     diag_class_bounds,
     dtw_batch_pallas,
     dtw_tile_lane_diag_pairs,
+    dtw_tile_lane_full_pairs,
     dtw_tile_lane_pairs,
     dtw_tile_pairs,
     dtw_tile_stripe_pairs,
+    lane_full_geometry,
     lane_geometry,
     pallas_supported,
     scan_len_diff_classes,
@@ -393,14 +396,22 @@ def _ws_level(wv_req: int) -> int:
 def _lane_route(
     L: int, d: int, lengths: np.ndarray, cfg: DTWConfig,
 ) -> int | None:
-    """Tile size for the LANE-PACKED kernel if the whole job can ride it
-    (banded, S <= 4096, SMEM/VMEM in range), else None.  Gates on the
+    """Tile size for the LANE-PACKED kernel family if the whole job can
+    ride it (S <= 4096, SMEM/VMEM in range), else None.  Gates on the
     corpus-global worst-class stripe width: widened half-width in "widen"
     mode, diag_class_bounds at the global length extremes in "diag" mode
-    (every tile-pair's class is narrower; narrower always fits)."""
-    if cfg.band is None or not len(lengths):
+    (every tile-pair's class is narrower; narrower always fits), and the
+    FULL-WIDTH kernel's max-real-length stripe for unbanded jobs —
+    band=None rides the exact full lane kernel (round 4) unless the
+    square tile kernel covers the length (S <= 256, MXU Gram build;
+    measured faster there, BASELINE.md round-4 unbanded table)."""
+    if not len(lengths):
         return None
     Lp = 128 * -(-L // 128)
+    if cfg.band is None:
+        if tile_geometry(Lp, d) is not None:
+            return None
+        return lane_full_geometry(Lp, d, int(lengths.max()))
     if getattr(cfg, "band_mode", "widen") == "diag":
         lo, hi = int(lengths.min()), int(lengths.max())
         wv, _ = diag_class_bounds(int(cfg.band), lo, hi, lo, hi)
@@ -471,6 +482,40 @@ def make_tile_stripe_class_fn(
                 int(tmax[i]) - int(tmin[j]),
             )
         return rows_cls, level_fn(min(wv_req, Lp))
+
+    return pair_class
+
+
+def make_tile_lane_full_class_fn(
+    lens_sorted: np.ndarray,   # [nT*ti] lengths in tile order (pad: 1)
+    nT: int,
+    ti: int,
+    Lp: int,
+    n_real: int,
+) -> Callable[[int, int], tuple[int, int]]:
+    """(I, J) tile-pair -> (rows_cls, width_cls) for the FULL-WIDTH lane
+    kernel (band=None).
+
+    rows covers the A tile's max REAL length (the scheduler's length sort
+    makes A the shorter side), width the B tile's — each quantized UP on
+    the same Lp//8 ladder so a job compiles a handful of executables.
+    Both components are >=-monotone contracts of dtw_tile_lane_full_pairs
+    (more rows / wider stripe always covers), so _merge_thin_classes'
+    elementwise-max merging stays correct.  Pad entries (length 1) are
+    excluded exactly as in make_tile_stripe_class_fn.
+    """
+    tmax = np.empty(nT, np.int64)
+    for t in range(nT):
+        real = lens_sorted[t * ti : min((t + 1) * ti, n_real)]
+        if len(real) == 0:
+            real = lens_sorted[t * ti : (t + 1) * ti]
+        tmax[t] = real.max()
+    rq = max(16, Lp // 8)
+
+    def pair_class(i: int, j: int) -> tuple[int, int]:
+        rows_cls = min(Lp, rq * -(-int(tmax[i]) // rq))
+        width_cls = min(Lp, rq * -(-int(tmax[j]) // rq))
+        return rows_cls, width_cls
 
     return pair_class
 
@@ -660,6 +705,7 @@ def all_pairs_distances_tiled(
     )
     ti, su, sv = geom
     diag = cfg.band is not None and getattr(cfg, "band_mode", "widen") == "diag"
+    full = lane and cfg.band is None
     if diag and not lane:
         # Only the lane kernel implements the diag corridor; the router
         # (all_pairs_distances) sends non-lane-eligible diag jobs to the
@@ -749,6 +795,8 @@ def all_pairs_distances_tiled(
         )
         tile_rep = tile_rep_lengths(lens_p, nT, ti, K)
         rep_dev = [jax.device_put(jnp.asarray(tile_rep), dv) for dv in devices]
+    elif full:
+        pair_class = make_tile_lane_full_class_fn(lens_p, nT, ti, Lp, K)
     elif lane:
         pair_class = make_tile_stripe_class_fn(
             lens_p, nT, ti, Lp, cfg.band, cfg.auto_widen_band, K,
@@ -789,7 +837,8 @@ def all_pairs_distances_tiled(
         block_dir = Path(block_dir)
         block_dir.mkdir(parents=True, exist_ok=True)
         cfg_tag = _cfg_tag(cfg, features, lengths) + (
-            b"|tiledlane" if lane
+            b"|tiledlanefull" if full
+            else b"|tiledlane" if lane
             else (b"|tiledstripe" if stripe else b"|tiled")
         )
 
@@ -828,8 +877,18 @@ def all_pairs_distances_tiled(
     inv = None if direct else np.argsort(perm)
     strip_bufs: dict[int, np.ndarray] = {}
     strip_left: dict[int, int] = {}
+    # Fused C++ scatter (native/apd_native.cc): one pass over each block
+    # writes both mirrored destinations with normalization inlined, vs ~6
+    # NumPy passes + temps — host scatter was ~1/3 of contract-scale wall
+    # and THE K=40k bottleneck (BASELINE.md rounds 3-4).  NumPy twin kept
+    # as fallback + A/B control (APD_NO_NATIVE_SCATTER=1; identity tested
+    # in tests/test_native.py and tests/test_dtw_tile.py).
+    use_native = (
+        native.available()
+        and os.environ.get("APD_NO_NATIVE_SCATTER", "") != "1"
+    )
 
-    def strip_add(I, c0, part):
+    def _strip_buf(I):
         buf = strip_bufs.get(I)
         if buf is None:
             buf = np.zeros((min(ti, K - I * ti), K), np.float32)
@@ -837,13 +896,23 @@ def all_pairs_distances_tiled(
             # strip I receives one piece per tile: from pairs (I, J >= I)
             # directly and (J < I, I) mirrored — nT pieces total
             strip_left[I] = nT
-        buf[:, c0 : c0 + part.shape[1]] = part
+        return buf
+
+    def _strip_dec(I):
         strip_left[I] -= 1
         if strip_left[I] == 0:
             del strip_left[I]
             buf = strip_bufs.pop(I)
             rows = perm[I * ti : I * ti + buf.shape[0]]
-            D[rows] = np.take(buf, inv, axis=1)
+            if use_native:
+                native.strip_unpermute(buf, inv, rows, D)
+            else:
+                D[rows] = np.take(buf, inv, axis=1)
+
+    def strip_add(I, c0, part):
+        buf = _strip_buf(I)
+        buf[:, c0 : c0 + part.shape[1]] = part
+        _strip_dec(I)
 
     def scatter_chunk(ii, jj, blocks):
         # Each (I, J) appears once.  Both triangles are written per block
@@ -862,6 +931,20 @@ def all_pairs_distances_tiled(
             r0, c0 = I * ti, J * ti
             # pad sequences (sorted index >= K) exist only in the last tile
             nr, nc = min(ti, K - r0), min(ti, K - c0)
+            if use_native and direct:
+                # Strip-mode blocks stay on the NumPy path: their writes
+                # are big contiguous row copies NumPy already saturates
+                # (native measured 0.88x there, tools/scatter_bench.py);
+                # the native win is the direct mode's permuted scatter
+                # (1.9x) and the strip completion gather (1.7x, in
+                # _strip_dec above).
+                native.scatter_block_direct(
+                    blk, nr, nc,
+                    ls_f[r0 : r0 + nr] if norm else None,
+                    ls_f[c0 : c0 + nc] if norm else None,
+                    perm[r0 : r0 + nr], perm[c0 : c0 + nc], D, I == J,
+                )
+                continue
             if norm:
                 blk = blk[:nr, :nc] / (
                     ls_f[r0 : r0 + nr][:, None] + ls_f[c0 : c0 + nc][None, :]
@@ -982,6 +1065,15 @@ def all_pairs_distances_tiled(
                         ti=ti, band=cfg.band, wv_max=wv_cls,
                         metric=cfg.metric, rows=rows_cls,
                         interpret=interpret,
+                    )
+            elif full:
+                def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
+                             w_cls=scan_cls):
+                    return dtw_tile_lane_full_pairs(
+                        feats_dev[di], lens_dev[di],
+                        jnp.asarray(ii), jnp.asarray(jj),
+                        ti=ti, width=w_cls, metric=cfg.metric,
+                        rows=rows_cls, interpret=interpret,
                     )
             elif lane:
                 def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,

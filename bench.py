@@ -387,7 +387,12 @@ def main() -> int:
         for o in outs:
             tdrain(o)
         windows = []
-        for w in range(3):
+        # 6 windows (vs 3 for the comparison rows): this is the metric of
+        # record, and tunnel weather moves 2-3x within a single process's
+        # lifetime (BASELINE.md round-4 bench notes) — more windows = a
+        # better chance one lands device-bound.  ~9 s extra in a healthy
+        # window.
+        for w in range(6):
             t0 = time.perf_counter()
             outs = [drun() for _ in range(TPU_ITERS)]
             for o in outs:

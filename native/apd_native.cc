@@ -375,4 +375,128 @@ int apd_wav_load_batch(const char* const* paths, int n_files, float* out,
   return n_fail;
 }
 
+// ---------------------------------------------------------------------------
+// Distance-matrix block scatter (SURVEY.md SS8 "blockwise streaming").
+//
+// The tiled pair scheduler downloads [U, ti, ti] DTW blocks and assembles the
+// symmetric K x K matrix on host.  The NumPy path costs ~6 memory passes per
+// block (normalize temp, triu/transpose copies, fancy-indexed mirrored
+// writes); at contract scale (50M pairs) that put host scatter at ~1/3 of
+// wall, and the K=40k strip path at 418 s (BASELINE.md round 3/4).  These
+// two fused single-pass writers read each block once and emit both mirrored
+// destinations directly, with path-length normalization inlined.
+// ---------------------------------------------------------------------------
+
+// Direct-write mode (D fits comfortably in host RAM): one [nr, nc] block of
+// tile-pair (I, J) lands in BOTH triangles of D through the sorted->original
+// permutation rows pr/pc.  diag=1 (I == J): the strict upper triangle is
+// mirrored and the tile diagonal written as exact zeros, so D stays exactly
+// symmetric regardless of last-ulp kernel asymmetries (same contract as the
+// NumPy path it replaces in parallel/pair_scheduler.py scatter_chunk).
+// lr/lc: per-row/col path-length normalizers (la + lb divisors built by the
+// caller), or NULL for normalize="none".
+// Normalize blk[:nr,:nc] into the caller's [nr, nc] scratch (row-major,
+// stride nc).  Vectorizable: the divisor row (lr[r] + lc[c]) is built once
+// per row and both loops are unit-stride.
+static void norm_block(const float* blk, int ti, int nr, int nc,
+                       const float* lr, const float* lc, float* tmp) {
+  if (!lr) {
+    for (int r = 0; r < nr; ++r)
+      std::memcpy(tmp + (size_t)r * nc, blk + (size_t)r * ti,
+                  sizeof(float) * nc);
+    return;
+  }
+  for (int r = 0; r < nr; ++r) {
+    const float* row = blk + (size_t)r * ti;
+    float* out = tmp + (size_t)r * nc;
+    const float a = lr[r];
+    for (int c = 0; c < nc; ++c) out[c] = row[c] / (a + lc[c]);
+  }
+}
+
+// Cache-blocked transposed write: dst[c * stride + r] = src[r * nc + c].
+// 32x32 tiles keep both the read rows and the written column runs inside
+// L1 on the shared vCPU.
+static void write_transposed(const float* src, int nr, int nc,
+                             float* dst, int64_t stride) {
+  constexpr int TB = 32;
+  for (int cb = 0; cb < nc; cb += TB)
+    for (int rb = 0; rb < nr; rb += TB) {
+      int ce = std::min(cb + TB, nc), re = std::min(rb + TB, nr);
+      for (int c = cb; c < ce; ++c) {
+        float* out = dst + (size_t)c * stride;
+        for (int r = rb; r < re; ++r) out[r] = src[(size_t)r * nc + c];
+      }
+    }
+}
+
+void apd_scatter_block_direct(const float* blk, int ti, int nr, int nc,
+                              const float* lr, const float* lc,
+                              const int64_t* pr, const int64_t* pc,
+                              float* D, int64_t K, int diag) {
+  std::vector<float> tmp((size_t)nr * nc);
+  norm_block(blk, ti, nr, nc, lr, lc, tmp.data());
+  if (diag) {
+    // strict upper mirrored, exact-zero diagonal (nr == nc for diag tiles)
+    for (int r = 0; r < nr; ++r) {
+      tmp[(size_t)r * nc + r] = 0.0f;
+      for (int c = 0; c < r; ++c)
+        tmp[(size_t)r * nc + c] = tmp[(size_t)c * nc + r];
+    }
+  }
+  for (int r = 0; r < nr; ++r) {
+    const float* row = tmp.data() + (size_t)r * nc;
+    float* Dr = D + (size_t)pr[r] * K;
+    for (int c = 0; c < nc; ++c) Dr[pc[c]] = row[c];
+  }
+  for (int c = 0; c < nc; ++c) {
+    float* Dc = D + (size_t)pc[c] * K;
+    for (int r = 0; r < nr; ++r) Dc[pr[r]] = tmp[(size_t)r * nc + c];
+  }
+}
+
+// Strip-buffer mode (K too large for fancy-indexed writes; D assembled one
+// ti-row strip at a time in SORTED order, un-permuted when a strip
+// completes).  Writes the normalized block into strip I at column c0 and its
+// transpose into strip J at column r0 in the same pass over blk.  bufJ may
+// be NULL (diagonal tiles contribute once, mirrored in-block: strict upper
+// + its transpose, zero diagonal).
+void apd_scatter_block_strip(const float* blk, int ti, int nr, int nc,
+                             const float* lr, const float* lc,
+                             float* bufI, int64_t strideI, int64_t c0,
+                             float* bufJ, int64_t strideJ, int64_t r0) {
+  std::vector<float> tmp((size_t)nr * nc);
+  norm_block(blk, ti, nr, nc, lr, lc, tmp.data());
+  if (bufJ == nullptr) {
+    // diagonal tile: strict upper mirrored in place, exact-zero diagonal
+    for (int r = 0; r < nr; ++r) {
+      tmp[(size_t)r * nc + r] = 0.0f;
+      for (int c = 0; c < r; ++c)
+        tmp[(size_t)r * nc + c] = tmp[(size_t)c * nc + r];
+    }
+    for (int r = 0; r < nr; ++r)
+      std::memcpy(bufI + (size_t)r * strideI + c0, tmp.data() + (size_t)r * nc,
+                  sizeof(float) * nc);
+    return;
+  }
+  for (int r = 0; r < nr; ++r)
+    std::memcpy(bufI + (size_t)r * strideI + c0, tmp.data() + (size_t)r * nc,
+                sizeof(float) * nc);
+  write_transposed(tmp.data(), nr, nc, bufJ + r0, strideJ);
+}
+
+// Strip completion: rows [n_rows, K] of the SORTED-order strip buffer are
+// un-permuted into D's original-order rows: D[row_ids[r], :] = buf[r, inv]
+// (the NumPy equivalent np.take(buf, inv, axis=1) materializes a second
+// strip-sized temp before the row copy; this gathers straight into D).
+void apd_strip_unpermute(const float* buf, int n_rows, int64_t K,
+                         const int64_t* inv, const int64_t* row_ids,
+                         float* D) {
+  for (int r = 0; r < n_rows; ++r) {
+    const float* src = buf + (size_t)r * K;
+    float* dst = D + (size_t)row_ids[r] * K;
+    for (int64_t c = 0; c < K; ++c) dst[c] = src[inv[c]];
+  }
+}
+
 }  // extern "C"

@@ -359,6 +359,45 @@ def test_scatter_strategies_identical(monkeypatch):
     np.testing.assert_array_equal(D_direct, D_sorted)
 
 
+def test_native_scatter_identical(monkeypatch):
+    """The fused C++ scatter (native/apd_native.cc) must be a pure
+    implementation detail: bitwise-identical D to the NumPy chain on BOTH
+    the direct and the strip-buffered assembly paths, normalized or not."""
+    from audio_pattern_discovery_tpu import native
+    from audio_pattern_discovery_tpu.config import DTWConfig
+    from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    # 42 = 10 full tiles + a 2-row partial: exercises the nr/nc < ti edge
+    feats, lengths = _mk(42, seed=13)
+    for norm in ("path_len", "none"):
+        cfg = DTWConfig(band=8, normalize=norm, band_mode="widen")
+        kw = dict(interpret=True, geometry=(TI, SU, SV))
+        monkeypatch.delenv("APD_NO_NATIVE_SCATTER", raising=False)
+        D_nat = ps.all_pairs_distances_tiled(
+            np.asarray(feats), np.asarray(lengths), cfg, **kw
+        )
+        monkeypatch.setenv("APD_NO_NATIVE_SCATTER", "1")
+        D_np = ps.all_pairs_distances_tiled(
+            np.asarray(feats), np.asarray(lengths), cfg, **kw
+        )
+        np.testing.assert_array_equal(D_nat, D_np)
+        monkeypatch.setattr(ps, "_DIRECT_SCATTER_BYTES", 0)
+        D_np_strip = ps.all_pairs_distances_tiled(
+            np.asarray(feats), np.asarray(lengths), cfg, **kw
+        )
+        monkeypatch.delenv("APD_NO_NATIVE_SCATTER")
+        D_nat_strip = ps.all_pairs_distances_tiled(
+            np.asarray(feats), np.asarray(lengths), cfg, **kw
+        )
+        np.testing.assert_array_equal(D_np_strip, D_nat_strip)
+        np.testing.assert_array_equal(D_nat, D_nat_strip)
+        monkeypatch.setattr(
+            ps, "_DIRECT_SCATTER_BYTES", 2 * 1024**3
+        )
+
+
 def test_threaded_scatter_identical(monkeypatch, tmp_path):
     """Matrix assembly on the scatter worker thread must be a pure
     implementation detail: same D (bitwise) as the APD_SYNC_SCATTER=1
@@ -385,13 +424,15 @@ def test_threaded_scatter_identical(monkeypatch, tmp_path):
     np.testing.assert_array_equal(D_res, D_sync)
 
 
-def test_threaded_scatter_error_propagates():
+def test_threaded_scatter_error_propagates(monkeypatch):
     """A failure inside the scatter worker (e.g. a corrupt block shape)
     must surface as an exception on the caller's thread, not hang or pass
-    silently."""
+    silently.  (np.triu lives on the NumPy scatter path only, so the
+    native fast path is disabled for the injection.)"""
     from audio_pattern_discovery_tpu.config import DTWConfig
     from audio_pattern_discovery_tpu.parallel import pair_scheduler as ps
 
+    monkeypatch.setenv("APD_NO_NATIVE_SCATTER", "1")
     feats, lengths = _mk(40, seed=12)
     cfg = DTWConfig(band=8, normalize="path_len", band_mode="widen")
 

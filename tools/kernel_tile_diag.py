@@ -72,6 +72,10 @@ def main() -> int:
                     help="drive the LANE-PACKED tile kernel (pairs on "
                          "lanes, stripe on sublanes; ti must be a "
                          "128-multiple on hardware)")
+    ap.add_argument("--full", action="store_true",
+                    help="drive the FULL-WIDTH (unbanded) lane kernel "
+                         "(band=None fast path, round 4) and the per-pair "
+                         "square baseline on the same pairs")
     ap.add_argument("--no-baseline", action="store_true",
                     help="with --stripe: skip the per-pair baseline timing")
     ap.add_argument("--panel-rows", type=int, default=32,
@@ -101,6 +105,7 @@ def main() -> int:
 
     from audio_pattern_discovery_tpu.ops.dtw_pallas import (
         dtw_batch_pallas,
+        dtw_tile_lane_full_pairs,
         dtw_tile_lane_pairs,
         dtw_tile_pairs,
         dtw_tile_stripe_pairs,
@@ -136,7 +141,17 @@ def main() -> int:
 
     wv_max = max(BAND, args.ddmax)
 
-    if args.lane:
+    if args.full:
+        lmax = int(jnp.max(lengths))
+        w_full = 8 * -(-lmax // 8)
+
+        def run():
+            return dtw_tile_lane_full_pairs(
+                feats, lengths, ii, jj, ti=args.ti, width=w_full,
+                rows=args.rows if args.rows is not None else lmax,
+                unroll_rows=args.unroll_rows,
+                interpret=not on_tpu)
+    elif args.lane:
         def run():
             return dtw_tile_lane_pairs(
                 feats, lengths, ii, jj, ti=args.ti, band=BAND,
@@ -174,7 +189,8 @@ def main() -> int:
     gj = np.array([pairs[p][1] * args.ti + c for p, c in zip(pu, cu)])
     ref = np.asarray(dtw_batch_pallas(
         feats[gi], feats[gj], lengths[gi], lengths[gj],
-        band=BAND, max_len_diff=args.ddmax, interpret=not on_tpu))
+        band=None if args.full else BAND, max_len_diff=args.ddmax,
+        interpret=not on_tpu))
     got = blocks[pu, ru, cu]
     ok = np.allclose(got, ref, rtol=1e-4, atol=1e-4)
     log(f"tile parity vs per-pair kernel ({nchk} sampled pairs): "
@@ -193,13 +209,15 @@ def main() -> int:
         for o in outs:
             np.asarray(o)
         best = max(best, n_pairs * ITERS / (time.perf_counter() - t0))
-    kind = "lane" if args.lane else ("tile-stripe" if args.stripe else
-                                     "tile")
+    kind = ("lane-full" if args.full else "lane" if args.lane
+            else ("tile-stripe" if args.stripe else "tile"))
     log(f"RESULT {kind}: {best:,.0f} pairs/s over {n_pairs} pairs/dispatch")
 
-    if args.stripe and not args.no_baseline:
-        # Per-pair stripe baseline on ONE tile-pair's worth of gathered
-        # pairs (the full 64-program pair set would gather gigabytes).
+    if (args.stripe or args.full) and not args.no_baseline:
+        # Per-pair baseline on ONE tile-pair's worth of gathered pairs
+        # (the full 64-program pair set would gather gigabytes).  --full
+        # times the per-pair SQUARE kernel (band=None), the pre-round-4
+        # route for unbanded S > 256 (VERDICT r3 item 3's 5x bar).
         bi = np.repeat(np.arange(args.ti), args.ti) + pairs[0][0] * args.ti
         bj = np.tile(np.arange(args.ti), args.ti) + pairs[0][1] * args.ti
         nb = len(bi)
@@ -207,7 +225,8 @@ def main() -> int:
         def run_pp():
             return dtw_batch_pallas(
                 feats[bi], feats[bj], lengths[bi], lengths[bj],
-                band=BAND, max_len_diff=args.ddmax, interpret=not on_tpu)
+                band=None if args.full else BAND,
+                max_len_diff=args.ddmax, interpret=not on_tpu)
 
         np.asarray(run_pp())
         best_pp = 0.0
@@ -217,8 +236,9 @@ def main() -> int:
             for o in outs:
                 np.asarray(o)
             best_pp = max(best_pp, nb * 2 / (time.perf_counter() - t0))
-        log(f"RESULT per-pair stripe baseline: {best_pp:,.0f} pairs/s "
-            f"({nb} gathered pairs/dispatch); tile-stripe/per-pair = "
+        base_kind = "square" if args.full else "stripe"
+        log(f"RESULT per-pair {base_kind} baseline: {best_pp:,.0f} pairs/s "
+            f"({nb} gathered pairs/dispatch); {kind}/per-pair = "
             f"{best / max(best_pp, 1e-9):.2f}x")
 
     def time_cfg(fn, n, reps=2, iters=3):
@@ -232,12 +252,17 @@ def main() -> int:
             b = max(b, n * iters / (time.perf_counter() - t0))
         return b
 
-    if args.lane and args.sweep:
+    if (args.lane or args.full) and args.sweep:
         # lane sweep specs: 'ur' per config (geometry is fixed by ti)
         for spec in args.sweep.split(";"):
             ur_s = int(spec)
 
             def run_l(ur_s=ur_s):
+                if args.full:
+                    return dtw_tile_lane_full_pairs(
+                        feats, lengths, ii, jj, ti=args.ti, width=w_full,
+                        rows=args.rows if args.rows is not None else lmax,
+                        unroll_rows=ur_s, interpret=not on_tpu)
                 return dtw_tile_lane_pairs(
                     feats, lengths, ii, jj, ti=args.ti, band=BAND,
                     wv_max=wv_max, rows=args.rows, unroll_rows=ur_s,
@@ -245,9 +270,9 @@ def main() -> int:
 
             try:
                 r = time_cfg(run_l, n_pairs)
-                log(f"SWEEP lane UR={ur_s}: {r:,.0f} pairs/s")
+                log(f"SWEEP {kind} UR={ur_s}: {r:,.0f} pairs/s")
             except Exception as e:  # noqa: BLE001
-                log(f"SWEEP lane UR={ur_s}: FAILED "
+                log(f"SWEEP {kind} UR={ur_s}: FAILED "
                     f"{type(e).__name__}: {str(e)[:200]}")
 
     if args.stripe and args.sweep:
