@@ -823,6 +823,18 @@ def all_pairs_distances_tiled(
             (i, j) for (i, j) in pairs_list if tile_new[i] or tile_new[j]
         ]
         n_all_pairs -= k_old * (k_old - 1) // 2
+    if lane and diag:
+        # Orient the LONG side onto DP rows (tiles are length-sorted, so
+        # J >= I is the longer tile): the scaled corridor's per-row
+        # half-width is band * max(1, (lb-1)/(la-1)) — with la >= lb that
+        # is exactly `band`, independent of the length ratio, while the
+        # short-side orientation pays band * ratio.  Same cell count, but
+        # the class stripe collapses from W_s ~ 2*band*ratio to the
+        # equal-length W_s (48 at band=16), cutting modeled element volume
+        # ~1.19x at the bench mix and merging the wide-wv classes away
+        # (BASELINE.md round-4 orientation table).  Scatter handles (J, I)
+        # blocks identically (both triangles written per block).
+        pairs_list = [(j, i) for (i, j) in pairs_list]
     if stats is None:
         stats = {}
     stats.update(

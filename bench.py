@@ -351,13 +351,18 @@ def main() -> int:
         )
         rep = jnp.asarray(tile_rep_lengths(lens_s, nT, ti, K))
         diag_by: dict = {}
+        # Production orientation (round 4): LONG side on rows — the
+        # corridor half-width is then exactly `band` for every pair, so
+        # the wide-wv classes collapse to the equal-length stripe
+        # (pair_scheduler.all_pairs_distances_tiled, orientation comment).
         for i, j in all_pairs:
-            diag_by.setdefault(diag_class(i, j), []).append((i, j))
+            diag_by.setdefault(diag_class(j, i), []).append((j, i))
         _merge_thin_classes(diag_by)
         dcls_of = {p: c for c, ps in diag_by.items() for p in ps}
         dgroups: dict = {}
         for p in pairs:
-            dgroups.setdefault(dcls_of[p], []).append(p)
+            q = (p[1], p[0])          # same sampled mix, swapped orientation
+            dgroups.setdefault(dcls_of[q], []).append(q)
         dparts = [
             (
                 cls,

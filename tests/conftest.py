@@ -45,9 +45,25 @@ def pytest_sessionstart(session):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: requires real TPU hardware (manual)")
+    config.addinivalue_line(
+        "markers",
+        "full: slow e2e/scale test, excluded from the default fast profile "
+        "(include with -m full / -m 'full or not full' or APD_FULL_TESTS=1)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
+    # Fast/full profiles (1-core host; the full suite is >12 min and grows):
+    # a plain `pytest tests/ -q` runs the fast profile; the round ritual and
+    # any behavior-touching change should run the FULL suite via
+    # APD_FULL_TESTS=1 (or an explicit -m expression, which wins outright).
+    if not config.getoption("-m") and os.environ.get("APD_FULL_TESTS") != "1":
+        skip_full = pytest.mark.skip(
+            reason="full-profile test; run APD_FULL_TESTS=1 pytest (or -m full)"
+        )
+        for item in items:
+            if "full" in item.keywords:
+                item.add_marker(skip_full)
     if os.environ.get("APD_TPU_TESTS") == "1":
         return
     skip = pytest.mark.skip(reason="TPU test; set APD_TPU_TESTS=1 on real hardware")

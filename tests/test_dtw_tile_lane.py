@@ -227,7 +227,9 @@ def test_lane_route_gating():
     assert _lane_route(512, 8, lens, DTWConfig(band=16)) == 128
     # short sequences are in range too (supersedes the square kernel)
     assert _lane_route(128, 8, lens, DTWConfig(band=16)) == 128
-    assert _lane_route(512, 8, lens, DTWConfig(band=None)) is None
+    # band=None rides the FULL-WIDTH lane kernel since round 4 (S > 256;
+    # routing details in tests/test_dtw_lane_full.py::test_lane_route_unbanded)
+    assert _lane_route(512, 8, lens, DTWConfig(band=None)) == 128
     # class quantization round-trips: width covers its level exactly
     for wv in (1, 7, 8, 16, 23, 100):
         lvl = _ws_level(wv)
