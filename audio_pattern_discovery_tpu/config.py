@@ -158,6 +158,17 @@ class AutoencoderConfig:
     # of retraining.
     checkpoint: bool = False
     checkpoint_dir: str = "ae_ckpt"
+    # Upload/training overlap for long corpora (BASELINE config 5): with
+    # f in (0, 1), the AE trains on the FIRST ceil(f * n_clips) clips'
+    # segment frames (scaler fitted on the same subset), launched
+    # asynchronously while the remaining clips' spectrogram tiles still
+    # upload — the device interleaves epoch programs with tile programs,
+    # hiding AE training inside the upload-bound stage.  0 (default)
+    # trains on every segment after the full corpus lands (exact prior
+    # behavior).  Training on a clip prefix changes the learned embedding
+    # (quality-gated in tools/field_bench.py, not bit-identical), so the
+    # knob enters the update/query fingerprint like any other AE knob.
+    overlap_clip_fraction: float = 0.0
 
 
 @dataclass
@@ -359,6 +370,11 @@ class PipelineConfig:
             self.autoencoder.context_frames >= 0,
             f"autoencoder.context_frames={self.autoencoder.context_frames} "
             "must be >= 0",
+        )
+        check(
+            0.0 <= self.autoencoder.overlap_clip_fraction < 1.0,
+            "autoencoder.overlap_clip_fraction="
+            f"{self.autoencoder.overlap_clip_fraction} must be in [0, 1)",
         )
         if self.autoencoder.enabled and self.autoencoder.method == "pca":
             check(

@@ -174,6 +174,53 @@ class StreamingCorpus:
         self._load_upto(len(self.paths))
         return list(self._clips)
 
+    def view(self, lo: int, hi: int) -> "CorpusView":
+        """Contiguous [lo, hi) window sharing this loader (clips load once)."""
+        return CorpusView(self, lo, hi)
+
+
+class CorpusView:
+    """A contiguous window over a StreamingCorpus with the same metadata
+    surface the pipeline's corpus preparation consumes.  Exists for the
+    config-5 upload/training overlap (pipeline.discover two-phase corpus):
+    each phase runs the ONE shared derivation over its window, against the
+    SAME underlying lazy loader, so clip bytes still load exactly once and
+    forward-only."""
+
+    def __init__(self, base: StreamingCorpus, lo: int, hi: int):
+        if not 0 <= lo <= hi <= len(base):
+            raise ValueError(f"view [{lo}, {hi}) out of range 0..{len(base)}")
+        self._base = base
+        self._lo, self._hi = lo, hi
+        self.paths = base.paths[lo:hi]
+        self.sample_lengths = base.sample_lengths[lo:hi]
+        self.sample_rates = base.sample_rates[lo:hi]
+        self.original_rates = base.original_rates[lo:hi]
+        self._resample_mask = base._resample_mask[lo:hi]
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+    @property
+    def all_pcm16(self) -> bool:
+        # The whole-corpus property of the base: a view never claims a
+        # stronger exactness contract than the corpus it came from (both
+        # phases then pick the SAME codec, keeping the per-clip device
+        # decode identical to the single-phase run).
+        return self._base.all_pcm16
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            start, stop, step = idx.indices(len(self))
+            return self._base[self._lo + start : self._lo + stop : step]
+        if idx < 0:
+            idx += len(self)
+        return self._base[self._lo + idx]
+
+    def materialize(self) -> list[Clip]:
+        self._base._load_upto(self._hi)
+        return list(self._base._clips[self._lo : self._hi])
+
 
 def load_corpus(
     wav_dir: str | Path,

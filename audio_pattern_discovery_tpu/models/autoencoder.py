@@ -212,6 +212,7 @@ def train_autoencoder(
     logger=None,
     data_sharding=None,            # optional jax.sharding.NamedSharding for DP
     param_shardings=None,          # optional callable params -> TP layout tree
+    sync_losses: bool = True,
 ) -> tuple[AutoEncoder, TrainState, list[float]]:
     """Train on spectrogram frames; returns (model, state, per-epoch losses).
 
@@ -220,6 +221,13 @@ def train_autoencoder(
     (DP over chips, SURVEY.md SS3 row 9).  With `param_shardings`
     (parallel.mesh.ae_param_sharding), params train in a tensor-parallel
     layout over the mesh's model axis (SS3 row 9).
+
+    `sync_losses=False` returns the per-epoch losses as UNMATERIALIZED
+    device futures (list of 0-d jax arrays): every epoch dispatch stays in
+    flight so the caller can overlap training with other host work (the
+    config-5 upload overlap, pipeline.discover); materialize with
+    float(x).  The returned state's params are futures too — any use
+    blocks until training drains.
     """
     frames = np.asarray(frames)
     frames = _quantize_pool(frames, cfg.seed)
@@ -257,7 +265,7 @@ def train_autoencoder(
                 f"AE epoch {epoch + 1}/{cfg.epochs} loss={float(epoch_loss):.5f}"
             )
         loss_futs.append(epoch_loss)
-    losses = [float(x) for x in loss_futs]
+    losses = loss_futs if not sync_losses else [float(x) for x in loss_futs]
     return model, TrainState(params, opt_state, cfg.epochs * n_batches), losses
 
 

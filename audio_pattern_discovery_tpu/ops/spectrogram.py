@@ -12,6 +12,9 @@ clip lengths handled with a frame-validity mask (SS8 P1).
 
 from __future__ import annotations
 
+import os
+import queue
+import threading
 from functools import partial
 
 import jax
@@ -484,11 +487,21 @@ def spectrogram_corpus(
     # Dispatch pipelining: materializing each tile's (tiny) energy vector
     # immediately would serialize upload -> compute -> download per tile;
     # holding a small window of in-flight tiles lets the next tile's upload
-    # overlap the previous tile's compute.
+    # overlap the previous tile's compute.  Collection itself rides ONE
+    # worker thread (round 4): np.asarray on a tile future releases the GIL
+    # while it blocks on the tunnel download, so the main loop keeps
+    # building/uploading the NEXT tiles instead of stalling — on
+    # upload-bound corpora (BASELINE config 5) the download waits otherwise
+    # punch holes in the host->device stream.  One worker, FIFO, disjoint
+    # row writes: bitwise-identical to inline collection
+    # (APD_SYNC_SPECTRO=1 forces the inline path; identity tested in
+    # tests/test_spectrogram.py).  Errors park and re-raise on the caller.
     pending: list[tuple] = []
 
-    def collect_one():
-        g0_, glen_, f0_, out_, fc_, en_ = pending.pop(0)
+    def collect_one(item=None):
+        g0_, glen_, f0_, out_, fc_, en_ = (
+            pending.pop(0) if item is None else item
+        )
         en_np = np.asarray(en_)
         fc_np = np.asarray(fc_)
         out_np = None if out_ is None else np.asarray(out_)
@@ -499,74 +512,128 @@ def spectrogram_corpus(
                     specs[g0_ + k, f0_ : f0_ + n] = out_np[k, :n]
                 energies[g0_ + k, f0_ : f0_ + n] = en_np[k, :n]
 
-    n_dev = len(devices) if devices else 0
-    for gi, g0 in enumerate(range(0, B, clip_batch)):
-        # Group -> device round-robin (no-op without `devices`): device_put
-        # commits the tile inputs, so the jitted tile program executes on
-        # the group's device and its outputs stay there until collection.
-        dev = devices[gi % n_dev] if n_dev else None
-        put = jnp.asarray if dev is None else (lambda x, d=dev: jax.device_put(x, d))
-        group = sigs[g0 : g0 + clip_batch]
-        g_frames = frames_per_clip[g0 : g0 + clip_batch]
-        n_chunks = max(1, -(-int(g_frames.max()) // CF))
-        group_tiles: list[jax.Array] = []
-        g_scales = None
-        if scales is not None:
-            g_scales = np.ones((clip_batch,), np.float32)
-            g_scales[: len(group)] = scales[g0 : g0 + clip_batch]
-        for c in range(n_chunks):
-            s0 = c * CF * hop
-            # Fresh buffer per tile: with tiles in flight, a reused buffer
-            # could be aliased zero-copy by the CPU backend and corrupted by
-            # the next iteration's writes.  int16 input (PCM16 sources)
-            # ships at half the bandwidth and is decoded+scaled on device.
-            dtype = (
-                sigs[0].dtype
-                if sigs[0].dtype in (np.int16, np.int8)
-                else np.float32
-            )
-            tile_sig = np.zeros((clip_batch, chunk_samples), dtype=dtype)
-            tile_len = np.zeros((clip_batch,), dtype=np.int32)
-            for k, sig in enumerate(group):
-                avail = max(0, len(sig) - s0)
-                take = min(avail, chunk_samples)
-                if take > 0:
-                    tile_sig[k, :take] = sig[s0 : s0 + take]
-                tile_len[k] = take
-            out, fc, en = _spectrogram_energy_tile(
-                put(tile_sig),
-                put(tile_len),
-                scales=None if g_scales is None else put(g_scales),
-                **_cfg_kwargs(cfg),
-            )
-            if return_device:
-                # Invalid frames already hold the log floor (masked in the
-                # kernel), so raw tiles concatenate into the final layout
-                # with no host round-trip of the spectrogram data.
-                group_tiles.append(out)
-                pending.append((g0, len(group), c * CF, None, fc, en))
-            else:
-                pending.append((g0, len(group), c * CF, out, fc, en))
-            # 6-deep: tile collection downloads ride the tunnel (tens of ms
-            # each); a deeper window keeps uploads/compute of later tiles
-            # overlapping them.  Bounded device memory: 6 tiles of
-            # [clip_batch, CF, bins] f32.
+    sync_collect = os.environ.get("APD_SYNC_SPECTRO", "") == "1"
+    collect_q: queue.Queue | None = None
+    collect_err: list[BaseException] = []
+    worker = None
+    if not sync_collect:
+        # maxsize bounds in-flight tiles (device buffers + download queue)
+        # to the same 6-deep window the inline path uses.
+        collect_q = queue.Queue(maxsize=6)
+
+        def _collector():
+            while True:
+                item = collect_q.get()
+                if item is None:
+                    return
+                if collect_err:
+                    continue  # drain; producer must never block on put()
+                try:
+                    collect_one(item)
+                except BaseException as exc:
+                    collect_err.append(exc)
+
+        worker = threading.Thread(
+            target=_collector, name="apd-spectro-collect", daemon=True
+        )
+        worker.start()
+
+    def emit(item):
+        if worker is None:
+            pending.append(item)
             if len(pending) >= 6:
                 collect_one()
-        if return_device:
-            g = (
-                jnp.concatenate(group_tiles, axis=1)
-                if len(group_tiles) > 1
-                else group_tiles[0]
+            return
+        if collect_err:
+            raise collect_err[0]
+        collect_q.put(item)
+
+    n_dev = len(devices) if devices else 0
+    try:
+        for gi, g0 in enumerate(range(0, B, clip_batch)):
+            # Group -> device round-robin (no-op without `devices`):
+            # device_put commits the tile inputs, so the jitted tile
+            # program executes on the group's device and its outputs stay
+            # there until collection.
+            dev = devices[gi % n_dev] if n_dev else None
+            put = (
+                jnp.asarray
+                if dev is None
+                else (lambda x, d=dev: jax.device_put(x, d))
             )
-            if g.shape[1] < F_max:
-                fill = feature_pad_fill(cfg)
-                g = jnp.pad(
-                    g,
-                    ((0, 0), (0, F_max - g.shape[1]), (0, 0)),
-                    constant_values=np.float32(fill),
+            group = sigs[g0 : g0 + clip_batch]
+            g_frames = frames_per_clip[g0 : g0 + clip_batch]
+            n_chunks = max(1, -(-int(g_frames.max()) // CF))
+            group_tiles: list[jax.Array] = []
+            g_scales = None
+            if scales is not None:
+                g_scales = np.ones((clip_batch,), np.float32)
+                g_scales[: len(group)] = scales[g0 : g0 + clip_batch]
+            for c in range(n_chunks):
+                s0 = c * CF * hop
+                # Fresh buffer per tile: with tiles in flight, a reused
+                # buffer could be aliased zero-copy by the CPU backend and
+                # corrupted by the next iteration's writes.  int16 input
+                # (PCM16 sources) ships at half the bandwidth and is
+                # decoded+scaled on device.
+                dtype = (
+                    sigs[0].dtype
+                    if sigs[0].dtype in (np.int16, np.int8)
+                    else np.float32
                 )
-            device_groups.append(g[:, :F_max])
+                tile_sig = np.zeros((clip_batch, chunk_samples), dtype=dtype)
+                tile_len = np.zeros((clip_batch,), dtype=np.int32)
+                for k, sig in enumerate(group):
+                    avail = max(0, len(sig) - s0)
+                    take = min(avail, chunk_samples)
+                    if take > 0:
+                        tile_sig[k, :take] = sig[s0 : s0 + take]
+                    tile_len[k] = take
+                out, fc, en = _spectrogram_energy_tile(
+                    put(tile_sig),
+                    put(tile_len),
+                    scales=None if g_scales is None else put(g_scales),
+                    **_cfg_kwargs(cfg),
+                )
+                if return_device:
+                    # Invalid frames already hold the log floor (masked in
+                    # the kernel), so raw tiles concatenate into the final
+                    # layout with no host round-trip of the spectrogram
+                    # data.
+                    group_tiles.append(out)
+                    emit((g0, len(group), c * CF, None, fc, en))
+                else:
+                    emit((g0, len(group), c * CF, out, fc, en))
+                # 6-deep window either way: tile collection downloads ride
+                # the tunnel (tens of ms each); a deeper window keeps
+                # uploads / compute of later tiles overlapping them.
+                # Bounded device memory: 6 tiles of [clip_batch, CF, bins]
+                # f32 (the inline path pops in emit(); the worker's queue
+                # maxsize enforces it).
+            if return_device:
+                g = (
+                    jnp.concatenate(group_tiles, axis=1)
+                    if len(group_tiles) > 1
+                    else group_tiles[0]
+                )
+                if g.shape[1] < F_max:
+                    fill = feature_pad_fill(cfg)
+                    g = jnp.pad(
+                        g,
+                        ((0, 0), (0, F_max - g.shape[1]), (0, 0)),
+                        constant_values=np.float32(fill),
+                    )
+                device_groups.append(g[:, :F_max])
+    finally:
+        # Shut the collector down on EVERY exit path (a tile-program error
+        # escaping the loop must not leak a blocked daemon thread holding
+        # the specs/energies closure — the scatter-worker lesson,
+        # ADVICE r3).
+        if worker is not None:
+            collect_q.put(None)
+            worker.join()
+    if collect_err:
+        raise collect_err[0]
     while pending:
         collect_one()
     if return_device:

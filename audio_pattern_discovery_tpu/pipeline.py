@@ -163,6 +163,23 @@ class DiscoveryResult:
         }
 
 
+def _flat_frames(
+    seg_frames: np.ndarray,        # [K, L, bins]
+    seg_lengths: np.ndarray,
+    n_segments: int,
+    ctx: int,
+) -> np.ndarray:
+    """All real (unpadded) segment frames as one [N, dim] training pool —
+    (2k+1)-frame context slices when ctx > 0 (ops/context.py)."""
+    if ctx > 0:
+        from audio_pattern_discovery_tpu.ops.context import flat_context
+
+        return flat_context(seg_frames, seg_lengths, ctx)
+    return np.concatenate(
+        [seg_frames[k, : seg_lengths[k]] for k in range(n_segments)]
+    )
+
+
 def extract_segment_features(
     spectrograms: np.ndarray,      # [B, F, bins]
     segments: list[Segment],
@@ -573,9 +590,86 @@ def discover(
     # ---- L1+L4: spectrograms -> segmentation -> segment frames ----------
     # (one shared implementation with query.query_corpus — index reuse
     # depends on this derivation being identical; see _prepare_corpus)
-    clips, frame_counts, segments, seg_frames, seg_frames_dev, seg_lengths = (
-        _prepare_corpus(cfg, stream, counters, log, devices=dtw_devices)
+    #
+    # Upload/training overlap (autoencoder.overlap_clip_fraction, BASELINE
+    # config 5): the corpus runs through the SAME derivation in two
+    # contiguous phases; after phase 1 the AE launches asynchronously on
+    # the first clips' segment frames (whole-epoch dispatches, nothing
+    # materialized), so the device interleaves epoch programs with phase
+    # 2's spectrogram tiles and training hides inside the upload-bound
+    # stage.  Segmentation is per-clip, so the merged segment table is
+    # identical to the single-phase run; only the AE's training pool (and
+    # therefore the learned embedding) differs — the knob is opt-in and
+    # quality-gated, not bit-identical (config.py docstring).
+    pre_train = None          # (model, state, loss_futs, scaler)
+    frac = cfg.autoencoder.overlap_clip_fraction
+    two_phase = (
+        0.0 < frac < 1.0
+        and cfg.autoencoder.enabled
+        and cfg.autoencoder.method == "ae"
+        and update_state is None
+        and len(stream) >= 2
     )
+    if two_phase and cfg.autoencoder.checkpoint and out_dir is not None:
+        from audio_pattern_discovery_tpu.utils.checkpoint import (
+            has_ae_checkpoint,
+        )
+
+        # A restorable checkpoint means training never runs — keep the
+        # cheaper single-phase derivation.
+        if has_ae_checkpoint(Path(out_dir) / cfg.autoencoder.checkpoint_dir):
+            two_phase = False
+    if two_phase:
+        m = max(1, min(len(stream) - 1, int(np.ceil(frac * len(stream)))))
+        c1, fc1, segs1, sf1, sfd1, sl1 = _prepare_corpus(
+            cfg, stream.view(0, m), counters, log, devices=dtw_devices
+        )
+        if len(segs1) >= 2:
+            ctx0 = cfg.autoencoder.context_frames
+            flat1 = _flat_frames(sf1, sl1, len(segs1), ctx0)
+            scaler1 = FeatureScaler.fit(flat1)
+            model1, state1, loss_futs = train_autoencoder(
+                scaler1.transform(flat1).astype(np.float32),
+                cfg.autoencoder,
+                logger=None,          # logging would sync mid-overlap
+                data_sharding=ae_sharding,
+                param_shardings=ae_param_fn,
+                sync_losses=False,
+            )
+            pre_train = (model1, state1, loss_futs, scaler1)
+            log.info(
+                f"overlap: AE training launched on {len(segs1)} segments "
+                f"from the first {m}/{len(stream)} clips; remaining "
+                "spectrogram uploads proceed under it"
+            )
+        else:
+            log.warning(
+                f"overlap: only {len(segs1)} segment(s) in the first "
+                f"{m} clips — training deferred to the full corpus"
+            )
+        c2, fc2, segs2, sf2, sfd2, sl2 = _prepare_corpus(
+            cfg, stream.view(m, len(stream)), counters, log,
+            devices=dtw_devices,
+        )
+        clips = c1 + c2
+        frame_counts = np.concatenate([fc1, fc2])
+        segments = segs1 + [
+            Segment(s.clip + m, s.start_frame, s.end_frame) for s in segs2
+        ]
+        # Both phases pad to the static cfg.dtw.max_seq_len, so the
+        # segment tensors concatenate directly (host and device copies).
+        seg_frames = np.concatenate([sf1, sf2])
+        seg_lengths = np.concatenate([sl1, sl2])
+        seg_frames_dev = (
+            jnp.concatenate([sfd1, sfd2])
+            if sfd1 is not None and sfd2 is not None
+            else None
+        )
+        del sf1, sf2, sfd1, sfd2
+    else:
+        clips, frame_counts, segments, seg_frames, seg_frames_dev, seg_lengths = (
+            _prepare_corpus(cfg, stream, counters, log, devices=dtw_devices)
+        )
     counters.add("frames", float(frame_counts.sum()))
     counters.add("segments", len(segments))
     log.info(f"segmented into {len(segments)} candidates")
@@ -676,11 +770,7 @@ def discover(
             # and at contract scale the concatenation is hundreds of MB of
             # dead host work on the one-core machine.
             def _flat() -> np.ndarray:
-                if ctx > 0:
-                    return flat_context(seg_frames, seg_lengths, ctx)
-                return np.concatenate(
-                    [seg_frames[k, : seg_lengths[k]] for k in range(len(segments))]
-                )
+                return _flat_frames(seg_frames, seg_lengths, len(segments), ctx)
 
             restored = False
             if restore_dir is not None:
@@ -711,7 +801,21 @@ def discover(
                         and Path(ckpt_dir).resolve() != Path(restore_dir).resolve()
                     ):
                         save_ae_checkpoint(ckpt_dir, state, scaler)
-            if not restored:
+            if not restored and pre_train is not None:
+                # Overlap mode: training launched mid-corpus; the stage
+                # timer below measures only the residual drain — epochs
+                # already retired under phase 2's uploads cost nothing
+                # here (that delta IS the overlap, visible in the stage
+                # table).
+                model, state, loss_futs, scaler = pre_train
+                ae_losses = [float(x) for x in loss_futs]
+                if ckpt_dir is not None:
+                    from audio_pattern_discovery_tpu.utils.checkpoint import (
+                        save_ae_checkpoint as _save_ae,
+                    )
+
+                    _save_ae(ckpt_dir, state, scaler)
+            elif not restored:
                 flat = _flat()
                 scaler = FeatureScaler.fit(flat)
                 model, state, ae_losses = train_autoencoder(

@@ -92,6 +92,7 @@ def test_pipeline_uses_checkpointed_path_for_long_sequences(rng, monkeypatch):
         assert got[m] == p
 
 
+@pytest.mark.full
 def test_paths_identical_property(rng):
     """Randomized shapes/chunks: checkpointed paths == one-shot paths for
     every drawn configuration (lengths, dims, band, row_chunk)."""

@@ -10,11 +10,14 @@ import json
 import os
 import pathlib
 import subprocess
+
+import pytest
 import sys
 
 REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
 
 
+@pytest.mark.full
 def test_bench_cpu_fallback_prints_json_line():
     env = {**os.environ, "APD_FORCE_CPU": "1"}
     r = subprocess.run(

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from audio_pattern_discovery_tpu.config import AutoencoderConfig, PipelineConfig
 from audio_pattern_discovery_tpu.models.autoencoder import (
@@ -61,6 +62,7 @@ def test_roundtrip_without_scaler(tmp_path, rng):
     assert state2.step == state.step
 
 
+@pytest.mark.full
 def test_pipeline_resume_skips_training(tmp_path):
     corpus = tmp_path / "corpus"
     out = tmp_path / "out"

@@ -106,6 +106,7 @@ def test_inf_rows_no_self_merge(rng, method):
         np.testing.assert_array_equal(Z[:, 2], Z_cpp[:, 2])
 
 
+@pytest.mark.full
 def test_auto_cut_gap_rule_tracks_scale():
     """The largest-relative-gap cut must recover planted cluster structure
     from 60 to 2000 segments (a fixed quantile's implied cluster count

@@ -115,6 +115,7 @@ def _purity(result, truth) -> float:
     return _cluster_purity(result, truth)
 
 
+@pytest.mark.full
 def test_e2e_with_context_recovers_motifs(tmp_path):
     corpus = tmp_path / "corpus"
     truth = make_corpus(
@@ -134,6 +135,7 @@ def test_e2e_with_context_recovers_motifs(tmp_path):
     np.testing.assert_array_equal(again.distance_matrix, result.distance_matrix)
 
 
+@pytest.mark.full
 def test_update_with_context_is_exact(tmp_path):
     src = tmp_path / "src"
     make_corpus(
@@ -157,6 +159,7 @@ def test_update_with_context_is_exact(tmp_path):
     )
 
 
+@pytest.mark.full
 def test_query_with_context(tmp_path):
     from audio_pattern_discovery_tpu.query import query_corpus
 

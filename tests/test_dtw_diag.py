@@ -228,6 +228,7 @@ def test_lane_diag_kernel_vs_scan_path():
                 )
 
 
+@pytest.mark.full
 def test_lane_diag_kernel_wide_length_spread():
     # Length ratio up to ~4x across tiles: exercises kmax in {2, 3, 4} and
     # the center-line shear — the regime the straight lane kernel pays
@@ -305,6 +306,7 @@ def test_diag_tiled_scheduler_matches_legacy():
     np.testing.assert_allclose(np.diag(D_lane), 0.0, atol=1e-6)
 
 
+@pytest.mark.full
 def test_diag_tiled_scheduler_resume(tmp_path):
     # Block persistence + resume under diag classes (3-tuple class keys in
     # the block fingerprint).
@@ -342,6 +344,7 @@ def test_diag_router_prefers_lane_then_legacy(monkeypatch):
         )
 
 
+@pytest.mark.full
 def test_lane_diag_chain_fallback_matches_dyn_roll():
     # dyn_roll=False (the kmax-static select chain) must be value-identical
     # to the default dynamic-shift realignment.

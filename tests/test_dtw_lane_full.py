@@ -151,6 +151,7 @@ def test_lane_route_unbanded():
     assert _lane_route(8192, 16, lens, cfg) is None
 
 
+@pytest.mark.full
 def test_full_scheduler_matches_legacy():
     from audio_pattern_discovery_tpu.config import DTWConfig
     from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
@@ -174,6 +175,7 @@ def test_full_scheduler_matches_legacy():
     np.testing.assert_allclose(np.diag(D_tiled), 0.0, atol=1e-6)
 
 
+@pytest.mark.full
 def test_full_scheduler_resume(tmp_path):
     from audio_pattern_discovery_tpu.config import DTWConfig
     from audio_pattern_discovery_tpu.parallel.pair_scheduler import (

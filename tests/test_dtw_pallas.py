@@ -201,6 +201,7 @@ def test_stripe_kernel_short_rows_and_tail_panel(rng):
         np.testing.assert_allclose(got[p], want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.full
 def test_stripe_kernel_beyond_square_ceiling(rng):
     """Banded S=2048 (past MAX_KERNEL_SEQ_LEN) runs on the stripe kernel."""
     from audio_pattern_discovery_tpu.ops.dtw_pallas import pallas_supported
@@ -266,6 +267,7 @@ def test_self_distance_precision_on_hardware(rng):
     assert np.abs(d_self).max() < 1e-3 * d_dist.mean()
 
 
+@pytest.mark.full
 def test_stripe_vs_square_kernel_parity(rng):
     """The stripe and square kernels implement the same recurrence through
     different layouts (shifted stripe + panel skew vs full row); forcing the

@@ -56,6 +56,7 @@ def _ref_block(feats, lengths, rows, cols, **kw):
         dict(band=16, auto_widen=True, metric="cosine"),
     ],
 )
+@pytest.mark.full
 def test_lane_matches_scan_path(kw):
     feats, lengths = _mk(2 * TI, seed=1)
     blocks = np.asarray(
@@ -85,6 +86,7 @@ def test_lane_matches_scan_path(kw):
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.full
 def test_lane_hard_band_inf_agreement():
     feats, lengths = _mk(2 * TI, seed=1)
     got = np.asarray(
@@ -105,6 +107,7 @@ def test_lane_hard_band_inf_agreement():
     np.testing.assert_allclose(got[m], ref[m], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.full
 def test_lane_out_of_frame_pair_is_inf_not_wrong():
     """A pair whose widened band exceeds wv_max must come back +inf, never
     a silently-truncated distance (the tile-stripe kernel's contract)."""
@@ -122,6 +125,7 @@ def test_lane_out_of_frame_pair_is_inf_not_wrong():
     assert np.all(np.isfinite(got[1:]))
 
 
+@pytest.mark.full
 def test_lane_block_transpose_symmetry():
     feats, lengths = _mk(2 * TI, seed=5)
     blocks = np.asarray(
@@ -134,6 +138,7 @@ def test_lane_block_transpose_symmetry():
     np.testing.assert_allclose(blocks[0], blocks[1].T, rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.full
 def test_lane_rows_bound_and_unroll_identical():
     """A tight static `rows` and a degraded unroll factor must be
     value-identical to the full, unroll-1 row loop.  Lengths are clamped
@@ -156,6 +161,7 @@ def test_lane_rows_bound_and_unroll_identical():
     np.testing.assert_array_equal(full, got)
 
 
+@pytest.mark.full
 def test_lane_wider_stripe_class():
     feats, _ = _mk(2 * TI, seed=3)
     rng = np.random.default_rng(4)
@@ -191,6 +197,7 @@ def test_lane_geometry_gates():
 # ------------------------------------------------------------- scheduler
 
 
+@pytest.mark.full
 def test_lane_scheduler_matches_legacy():
     from audio_pattern_discovery_tpu.config import DTWConfig
     from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
@@ -237,6 +244,7 @@ def test_lane_route_gating():
         assert _ws_width(lvl) == _ws_width(wv)
 
 
+@pytest.mark.full
 def test_lane_scheduler_resume(tmp_path):
     from audio_pattern_discovery_tpu.config import DTWConfig
     from audio_pattern_discovery_tpu.parallel.pair_scheduler import (

@@ -48,6 +48,7 @@ def _ref_block(feats, lengths, rows, cols, **kw):
         dict(band=16, auto_widen=True, metric="cosine"),
     ],
 )
+@pytest.mark.full
 def test_tile_stripe_matches_scan_path(kw):
     feats, lengths = _mk(2 * TI, seed=1)
     blocks = np.asarray(
@@ -75,6 +76,7 @@ def test_tile_stripe_matches_scan_path(kw):
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.full
 def test_tile_stripe_hard_band_inf_agreement():
     """auto_widen=False: pairs with |la-lb| > band have NO in-band path —
     both the scan path and the stripe must return +inf for exactly the
@@ -99,6 +101,7 @@ def test_tile_stripe_hard_band_inf_agreement():
     np.testing.assert_allclose(got[m], ref[m], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.full
 def test_tile_stripe_out_of_frame_pair_is_inf_not_wrong():
     """A pair whose widened band exceeds wv_max must come back +inf (its
     extraction slot lies outside the stripe), never a silently-truncated
@@ -117,6 +120,7 @@ def test_tile_stripe_out_of_frame_pair_is_inf_not_wrong():
     assert np.all(np.isfinite(got[1:]))
 
 
+@pytest.mark.full
 def test_tile_stripe_block_transpose_symmetry():
     feats, lengths = _mk(2 * TI, seed=5)
     blocks = np.asarray(
@@ -129,6 +133,7 @@ def test_tile_stripe_block_transpose_symmetry():
     np.testing.assert_allclose(blocks[0], blocks[1].T, rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.full
 def test_tile_stripe_rows_bound_identical():
     """A tight static `rows` covering every A-tile length must be
     value-identical to the full row loop."""
@@ -142,6 +147,7 @@ def test_tile_stripe_rows_bound_identical():
     np.testing.assert_array_equal(full, tight)
 
 
+@pytest.mark.full
 def test_tile_stripe_wider_stripe_class():
     """wv_max=100 -> W=256: the second stripe-width class must stay exact
     (panel windows, extraction slots, and scan depth all shift with W)."""
@@ -183,6 +189,7 @@ def test_tile_stripe_geometry_ranges():
 # ------------------------------------------------------------- scheduler
 
 
+@pytest.mark.full
 def test_tile_stripe_scheduler_matches_legacy():
     """all_pairs_distances_tiled in stripe mode == the per-pair scheduler's
     D at a long-sequence shape (S=512, banded)."""
@@ -257,6 +264,7 @@ def test_stripe_route_gating():
     assert _stripe_route(512, 8, wide, DTWConfig(band=16, band_mode="widen")) is None
 
 
+@pytest.mark.full
 def test_tile_stripe_scheduler_resume(tmp_path):
     """Chunk persistence in stripe mode: a second run reuses saved blocks
     bit-for-bit and dispatches nothing."""

@@ -203,6 +203,7 @@ def test_segmentation_invariant_across_features(rng):
     assert len(tables[0]) >= 2
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("feature", ["mel", "mfcc"])
 def test_e2e_discovery_on_feature(tmp_path, feature):
     """Planted motifs are still discovered end-to-end with the mel/MFCC

@@ -168,6 +168,7 @@ def test_block_retry_exhausted_raises(rng, monkeypatch):
         all_pairs_distances(feats, lengths, cfg, bucket_step=8, max_retries=1)
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("band_mode", ["widen", "diag"])
 def test_overlong_bucket_routes_to_blocked_path(rng, band_mode):
     """Buckets beyond the Pallas VMEM ceiling use the blocked long-DTW

@@ -90,6 +90,7 @@ def _pca_cfg():
     return cfg
 
 
+@pytest.mark.full
 def test_e2e_discover_with_pca(tmp_path):
     from audio_pattern_discovery_tpu.pipeline import discover
     from audio_pattern_discovery_tpu.synthetic import make_corpus

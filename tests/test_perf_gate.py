@@ -283,6 +283,68 @@ def test_kernel_ratio_gates(rng):
 
 
 @pytest.mark.tpu
+def test_full_kernel_ratio_gate(rng):
+    """Round-4 unbanded fast path: the FULL-WIDTH lane kernel vs the
+    per-pair square kernel it supersedes (band=None, S=512), back-to-back
+    in one process so weather cancels.  Healthy ratio ~3.9x (BASELINE.md
+    round-4 unbanded table); the 2x floor catches a ~2x kernel regression
+    in any window."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_batch_pallas,
+        dtw_tile_lane_full_pairs,
+    )
+
+    floor = float(os.environ.get("APD_PERF_RATIO_FULL", 2.0))
+    S, d, ti = 512, 16, 128
+    K = 4 * ti
+    feats = jnp.asarray(rng.normal(0, 1, (K, S, d)).astype(np.float32))
+    lens_np = rng.integers(S - 16, S + 1, K).astype(np.int32)
+    lens = jnp.asarray(lens_np)
+    lmax = int(lens_np.max())
+    w_full = 8 * -(-lmax // 8)
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    ii = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    jj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+    n_full = len(pairs) * ti * ti
+
+    bi = np.repeat(np.arange(ti), ti)
+    bj = np.tile(np.arange(ti, 2 * ti), ti)
+    n_pp = len(bi)
+
+    def run_full():
+        return [dtw_tile_lane_full_pairs(
+            feats, lens, ii, jj, ti=ti, width=w_full, rows=lmax)]
+
+    def run_pp():
+        return [dtw_batch_pallas(
+            feats[bi], feats[bj], lens[bi], lens[bj], band=None)]
+
+    def rate(run, n, iters=3):
+        for o in run():
+            np.asarray(o)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(iters)]
+            for og in outs:
+                for o in og:
+                    np.asarray(o)
+            best = max(best, iters * n / (time.perf_counter() - t0))
+        return best
+
+    pp1 = rate(run_pp, n_pp)
+    full = rate(run_full, n_full)
+    pp2 = rate(run_pp, n_pp)
+    pp = max(pp1, pp2)
+    assert full >= floor * pp, (
+        f"full/per-pair ratio {full / pp:.2f} < {floor} "
+        f"(full {full:,.0f}, per-pair {pp:,.0f} pairs/s)"
+    )
+
+
+@pytest.mark.tpu
 def test_ratio_gate_catches_injected_slowdown(rng, monkeypatch):
     """Prove the ratio gate trips on a synthetic 4x all-pairs slowdown
     (VERDICT r3 item 6's done bar, without a separate one-off process)."""

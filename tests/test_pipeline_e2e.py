@@ -133,6 +133,7 @@ def test_deterministic_end_to_end(tmp_path):
     np.testing.assert_array_equal(r1.distance_matrix, r2.distance_matrix)
 
 
+@pytest.mark.full
 def test_cluster_images_written(tmp_path):
     from audio_pattern_discovery_tpu.config import PipelineConfig
     from audio_pattern_discovery_tpu.pipeline import discover
@@ -170,6 +171,7 @@ def test_config_validation_rejects_bad_knobs():
     assert PipelineConfig().validate() is not None
 
 
+@pytest.mark.full
 def test_html_report_and_eval(tmp_path):
     import json
     import sys
@@ -199,6 +201,7 @@ def test_html_report_and_eval(tmp_path):
     assert scores["coverage"] >= 0.7, scores
 
 
+@pytest.mark.full
 def test_golden_harness_roundtrip(tmp_path, monkeypatch):
     import subprocess
     import sys
@@ -235,6 +238,7 @@ def test_config_from_dict_rejects_unknown_section():
         PipelineConfig.from_dict({"dtw": {"bandd": 3}})
 
 
+@pytest.mark.full
 def test_cluster_alignments_chunked_matches_one_shot(monkeypatch):
     """The alignment memory guard (chunked with-dirs dispatches) must return
     byte-identical warping paths to an unguarded one-shot dispatch."""
@@ -368,6 +372,7 @@ def test_behavior_matches_committed_golden_mfcc_pca(tmp_path):
     assert partition(result.labels) == partition(ref["labels"])
 
 
+@pytest.mark.full
 def test_mulaw8_upload_quality_parity(tmp_path):
     """upload_codec="mulaw8" (half-of-int16 bandwidth) must preserve
     discovery quality on a planted corpus: same purity gate and the same
@@ -519,3 +524,32 @@ def test_label_tracks_written(tmp_path):
             assert lab.startswith("cluster")
             n_rows += 1
     assert n_rows == sum(len(r.members) for r in res.clusters)
+
+
+@pytest.mark.full
+def test_overlap_training_quality_parity(tmp_path):
+    """autoencoder.overlap_clip_fraction (config-5 upload/training overlap,
+    round 4) must preserve discovery quality: the AE trains on the first
+    half's segments only, but the segment TABLE is identical to the
+    single-phase run (per-clip segmentation) and the planted motifs still
+    cluster cleanly."""
+    corpus_dir = tmp_path / "corpus"
+    truth = make_corpus(
+        corpus_dir, n_clips=10, n_motifs=3, occurrences_per_clip=2,
+        clip_seconds=2.0, sample_rate=16_000, seed=7,
+    )
+    cfg_ref = _small_config(True)
+    cfg_ov = _small_config(True)
+    cfg_ov.autoencoder.overlap_clip_fraction = 0.5
+    cfg_ov.validate()
+    r_ref = discover(corpus_dir, cfg_ref)
+    r_ov = discover(corpus_dir, cfg_ov)
+
+    # segment derivation is phase-split-invariant (index-reuse contract)
+    assert [
+        (s.clip, s.start_frame, s.end_frame) for s in r_ov.segments
+    ] == [(s.clip, s.start_frame, s.end_frame) for s in r_ref.segments]
+    assert [c.path for c in r_ov.clips] == [c.path for c in r_ref.clips]
+    assert _cluster_purity(r_ov, truth) >= 0.9
+    # AE losses materialized from the in-flight futures
+    assert r_ov.ae_losses and all(np.isfinite(r_ov.ae_losses))

@@ -6,6 +6,7 @@ invariance, and path-length normalization bounds.
 """
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from audio_pattern_discovery_tpu.oracle.dtw import dtw_oracle
@@ -108,6 +109,7 @@ def test_triangle_like_bound_on_concatenation(pair):
     st.integers(2, 30),          # band
     st.integers(0, 6),           # seed
 )
+@pytest.mark.full
 def test_tile_kernel_matches_scan_on_random_corpora(band, seed):
     """Property: the all-pairs TILE kernel agrees with the scan-path oracle
     on random ragged corpora across band widths (interpret mode; the DP

@@ -74,6 +74,7 @@ def _start_server(sock):
     raise TimeoutError("server never answered ping")
 
 
+@pytest.mark.full
 def test_serve_end_to_end(tmp_path):
     corpus = tmp_path / "corpus"
     make_corpus(corpus, n_clips=6, n_motifs=2, clip_seconds=1.5, seed=3)

@@ -197,6 +197,7 @@ def test_wavefront_sharded_banded(rng, S):
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.full
 def test_train_autoencoder_with_tp_param_layout(rng):
     """The pipeline's TP wiring: train_autoencoder(param_shardings=...) must
     train with params laid out over the model axis (VERDICT round-1 weak #6:

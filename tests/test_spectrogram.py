@@ -246,6 +246,7 @@ def test_tpu_compiled_dft_precision_vs_oracle(rng):
         assert err < tol, f"{prec}: max log10 err {err} >= {tol}"
 
 
+@pytest.mark.full
 def test_corpus_multi_device_round_robin_bit_identical(rng):
     """Clip-group round-robin over the virtual 8-device mesh == the
     single-device path, bit for bit (same tile program per device), for
@@ -291,3 +292,61 @@ def test_corpus_multi_device_round_robin_bit_identical(rng):
     rr = spectrogram_corpus(isigs, cfg, scales=scales, devices=devices, **kw)
     for a, b in zip(one, rr):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_threaded_collection_identical(rng, monkeypatch):
+    """Tile collection on the worker thread (round 4) must be a pure
+    implementation detail: bitwise-identical specs/energies/frame counts
+    to the APD_SYNC_SPECTRO=1 inline path, host and device-resident."""
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
+
+    cfg = SpectrogramConfig(win_length=64, hop_length=16)
+    sigs = [
+        rng.normal(0, 0.3, int(n)).astype(np.float32)
+        for n in rng.integers(200, 2000, 7)
+    ]
+    kw = dict(clip_batch=3, chunk_frames=10)
+    s_thr, fc_thr, en_thr = spectrogram_corpus(sigs, cfg, **kw)
+    d_thr, dfc_thr, den_thr = spectrogram_corpus(
+        sigs, cfg, return_device=True, **kw
+    )
+    monkeypatch.setenv("APD_SYNC_SPECTRO", "1")
+    s_syn, fc_syn, en_syn = spectrogram_corpus(sigs, cfg, **kw)
+    d_syn, dfc_syn, den_syn = spectrogram_corpus(
+        sigs, cfg, return_device=True, **kw
+    )
+    np.testing.assert_array_equal(s_thr, s_syn)
+    np.testing.assert_array_equal(fc_thr, fc_syn)
+    np.testing.assert_array_equal(en_thr, en_syn)
+    np.testing.assert_array_equal(np.asarray(d_thr), np.asarray(d_syn))
+    np.testing.assert_array_equal(dfc_thr, dfc_syn)
+    np.testing.assert_array_equal(den_thr, den_syn)
+
+
+def test_threaded_collection_no_leak_on_error(rng):
+    """An error escaping the tile loop must join the collector thread on
+    the way out (the scatter-worker leak lesson, ADVICE r3)."""
+    import threading
+    import unittest.mock as mock
+
+    from audio_pattern_discovery_tpu.config import SpectrogramConfig
+    from audio_pattern_discovery_tpu.ops import spectrogram as sp
+
+    cfg = SpectrogramConfig(win_length=64, hop_length=16)
+    sigs = [rng.normal(0, 0.3, 500).astype(np.float32) for _ in range(4)]
+
+    def boom(*a, **k):
+        raise RuntimeError("tile boom")
+
+    before = {t.name for t in threading.enumerate()}
+    with mock.patch.object(sp, "_spectrogram_energy_tile", side_effect=boom):
+        for _ in range(3):
+            with pytest.raises(RuntimeError, match="tile boom"):
+                sp.spectrogram_corpus(sigs, cfg, clip_batch=2, chunk_frames=8)
+    leaked = [
+        t.name
+        for t in threading.enumerate()
+        if t.name.startswith("apd-spectro-collect") and t.name not in before
+    ]
+    assert not leaked, f"leaked collector threads: {leaked}"

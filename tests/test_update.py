@@ -165,6 +165,7 @@ def test_update_with_ae_requires_prior_checkpoint(tmp_path):
         discover(grow, cfg, update_from=out)
 
 
+@pytest.mark.full
 def test_cli_update_flag(tmp_path):
     from audio_pattern_discovery_tpu.cli import main
 

@@ -74,6 +74,12 @@ def main() -> int:
     codec = os.environ.get("APD_FIELD_CODEC")
     if codec:
         cfg.spectrogram.upload_codec = codec
+    # APD_FIELD_OVERLAP=0.5 launches AE training after the first half of
+    # the clips so epochs hide under the remaining uploads (round 4;
+    # quality gated by the scorecard below).
+    overlap = os.environ.get("APD_FIELD_OVERLAP")
+    if overlap:
+        cfg.autoencoder.overlap_clip_fraction = float(overlap)
     cfg.validate()
 
     t0 = time.time()
