@@ -123,6 +123,17 @@ def _device_probes(hbm_mb: int) -> dict:
         best = min(best, time.perf_counter() - t0)
     out["hbm_gbps"] = round(2 * n * 4 / best / 1e9, 2)
     out["hbm_probe_mb"] = hbm_mb
+
+    # Host->device upload bandwidth: the third independent weather axis —
+    # measured collapsing to 0.08 MB/s while dispatch RPC stayed a healthy
+    # 27 ms (2026-08-19) — and the one that bounds the config-5 spectrogram
+    # stage and any fresh-corpus DTW job.  8 MB keeps the probe ~1 s when
+    # healthy and ~2 min in the worst observed window.
+    up = np.empty(2 * 1024 * 1024, np.float32)
+    t0 = time.perf_counter()
+    xd = jnp.asarray(up)
+    np.asarray(xd[:1])
+    out["upload_mb_s"] = round(up.nbytes / 2**20 / (time.perf_counter() - t0), 2)
     return out
 
 
