@@ -840,7 +840,7 @@ def all_pairs_distances_tiled(
     stats.update(
         dispatch_s=0.0, collect_s=0.0, scatter_s=0.0, persist_s=0.0,
         enumerate_s=0.0, blocks=0, pad_pairs=0, pairs=n_all_pairs,
-        tiled=True, stripe=bool(stripe), lane=bool(lane),
+        tiled=True, stripe=bool(stripe), lane=bool(lane), full=bool(full),
         tile_programs=len(pairs_list), upload_s=upload_s,
         device_blocks=[0] * len(devices),
     )

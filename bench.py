@@ -100,8 +100,18 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     lengths_np = rng.integers(SEQ_LEN // 2, SEQ_LEN + 1, BATCH).astype(np.int32)
-    a_np = rng.normal(0, 1, (BATCH, SEQ_LEN, LATENT_DIM)).astype(np.float32)
-    b_np = rng.normal(0, 1, (BATCH, SEQ_LEN, LATENT_DIM)).astype(np.float32)
+    # Feature VALUES never leave the host for the TPU sections: DTW has no
+    # data-dependent control flow, so the device benchmark inputs are
+    # jax.random-generated ON DEVICE (zero bulk upload) while the CPU
+    # baseline keeps its own host arrays.  Rationale: this round observed
+    # an upload-only tunnel collapse to 0.01-0.4 MB/s (RPC normal) —
+    # uploading the old 536 MB per-pair batch would hang the driver's
+    # round-end bench for hours in such a window (tools/tunnel_probe.py,
+    # BASELINE.md round-4 weather notes).  Only lengths/indices (KBs)
+    # cross host->device.
+    host_pairs = 32 * CPU_PAIRS   # covers the all-cores row + CPU fallback
+    a_np = rng.normal(0, 1, (host_pairs, SEQ_LEN, LATENT_DIM)).astype(np.float32)
+    b_np = rng.normal(0, 1, (host_pairs, SEQ_LEN, LATENT_DIM)).astype(np.float32)
     la_np = lengths_np
     lb_np = np.roll(lengths_np, 1)
 
@@ -113,25 +123,31 @@ def main() -> int:
         # Group pairs by their |la-lb| scan-plan class, exactly as the
         # legacy per-pair scheduler does
         # (parallel/pair_scheduler.enumerate_pair_blocks).  Only built on
-        # the TPU path — the CPU fallback never consumes these device
-        # arrays, and uploading ~128 MB for nothing would slow every
-        # APD_FORCE_CPU smoke run.
+        # the TPU path; pair features are device-generated and gathered
+        # on device (upload = the two length vectors).
         classes = scan_len_diff_classes(SEQ_LEN, BAND, True)
         dd = np.abs(la_np - lb_np)
         cls = np.searchsorted(np.asarray(classes), dd)
+        kk = jax.random.split(jax.random.PRNGKey(0), 2)
+        A = jax.random.normal(kk[0], (BATCH, SEQ_LEN, LATENT_DIM),
+                              jnp.float32)
+        Bm = jax.random.normal(kk[1], (BATCH, SEQ_LEN, LATENT_DIM),
+                               jnp.float32)
+        la_d = jnp.asarray(la_np)
+        lb_d = jnp.asarray(lb_np)
         parts = []
         for c, bound in enumerate(classes):
             idx = np.nonzero(cls == c)[0]
             if len(idx):
+                ix = jnp.asarray(idx, jnp.int32)
                 parts.append(
                     (
                         int(bound),
-                        jnp.asarray(a_np[idx]),
-                        jnp.asarray(b_np[idx]),
-                        jnp.asarray(la_np[idx]),
-                        jnp.asarray(lb_np[idx]),
+                        A[ix], Bm[ix], la_d[ix], lb_d[ix],
                     )
                 )
+        for _, pa, *_ in parts:
+            np.asarray(pa[0, 0, 0])      # materialize gathers, then free A/B
         log(
             "scan classes: "
             + ", ".join(f"dd<={b}: {p[3].shape[0]} pairs" for (b, *p) in parts)
@@ -182,15 +198,17 @@ def main() -> int:
         nT = 17
         K = nT * ti                       # corpus slice: 17 tiles
         rng2 = np.random.default_rng(1)
-        feats_np = rng2.normal(0, 1, (K, SEQ_LEN, LATENT_DIM)).astype(
-            np.float32
-        )
         lens_np = rng2.integers(SEQ_LEN // 2, SEQ_LEN + 1, K).astype(np.int32)
         # Mirror the production tiled scheduler: sequences sorted by length
         # so each tile-pair dispatch gets a tight static DP row count and
-        # banded scan depth (2x2 classes).
+        # banded scan depth (2x2 classes).  Features are device-generated
+        # (iid values — "permuting" them is a no-op distributionally, and
+        # DTW throughput is value-independent); only the sorted lengths
+        # upload (zero-bulk-upload rationale above).
         perm = np.argsort(lens_np, kind="stable")
-        feats = jnp.asarray(feats_np[perm])
+        feats = jax.random.normal(
+            jax.random.PRNGKey(1), (K, SEQ_LEN, LATENT_DIM), jnp.float32
+        )
         lens_s = lens_np[perm]
         lens = jnp.asarray(lens_s)
         from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
@@ -414,7 +432,7 @@ def main() -> int:
         # No TPU (debug run): fall back to the scan wavefront, still on-device.
         from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
 
-        small = 512
+        small = min(512, host_pairs)
         args = (
             jnp.asarray(a_np[:small]),
             jnp.asarray(b_np[:small]),
@@ -440,6 +458,23 @@ def main() -> int:
     # including host tile assembly — best of 3 passes (steady state), not a
     # single synchronized dispatch.
     if on_tpu:
+        # The streaming spectrogram metric INCLUDES its 21 MB of int16
+        # uploads by design (that is the production stage).  Gate it on a
+        # 2 MB upload probe: in the observed upload-only collapse windows
+        # (0.01-0.4 MB/s while dispatch RPC stays ~27 ms) the section
+        # would stall the driver's round-end bench for tens of minutes for
+        # a stderr-only metric.
+        t0 = time.perf_counter()
+        np.asarray(jnp.asarray(np.zeros(512 * 1024, np.float32))[:1])
+        up_mb_s = 2.0 / max(time.perf_counter() - t0, 1e-9)
+        log(f"upload probe: {up_mb_s:.1f} MB/s")
+    if on_tpu and up_mb_s < 1.0:
+        log(
+            "upload path degraded (< 1 MB/s): skipping the streaming "
+            "spectrogram metric this run (weather, not regression — "
+            "tools/tunnel_probe.py / BASELINE.md round-4 weather notes)"
+        )
+    elif on_tpu:
         from audio_pattern_discovery_tpu.config import SpectrogramConfig
         from audio_pattern_discovery_tpu.ops.spectrogram import spectrogram_corpus
 
@@ -509,7 +544,7 @@ def main() -> int:
 
         ncores = len(os.sched_getaffinity(0)) or os.cpu_count() or 1
         if ncores > 1:
-            mt_pairs = min(BATCH, CPU_PAIRS * ncores)
+            mt_pairs = min(host_pairs, CPU_PAIRS * ncores)
             slm = slice(0, mt_pairs)
             native.dtw_batch_cpu(  # warm (thread pool spin-up)
                 a_np[slm], b_np[slm], la_np[slm], lb_np[slm],
