@@ -44,16 +44,21 @@ def main() -> int:
 
     log(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(0)
-    feats_np = rng.normal(0, 1, (N_SEQ, SEQ_LEN, LATENT_DIM)).astype(np.float32)
     lengths = rng.integers(SEQ_LEN // 2, SEQ_LEN + 1, N_SEQ).astype(np.int32)
     # The production pipeline hands the scheduler DEVICE-RESIDENT features
-    # (AE latents never leave the chip); mirror that here and log the
-    # one-time corpus upload separately so run rates measure the job, not
-    # the tunnel's host->device hop for synthetic inputs.
+    # (AE latents never leave the chip); mirror that by GENERATING the
+    # synthetic corpus on device — DTW throughput is value-independent,
+    # and the old host->device corpus upload (82 MB at K=10k, 330 MB at
+    # K=40k) measured 207 s+ in the round-4 upload-collapse windows
+    # (0.01-0.4 MB/s, tools/tunnel_probe.py) for a hop the real pipeline
+    # never takes.  Only the lengths vector crosses the link.
     t0 = time.time()
-    feats = jnp.asarray(feats_np)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(0), (N_SEQ, SEQ_LEN, LATENT_DIM), jnp.float32
+    )
     np.asarray(feats[0, 0, 0])
-    log(f"corpus upload: {feats_np.nbytes / 1e6:.0f} MB in {time.time() - t0:.1f}s")
+    log(f"corpus device-generated: {feats.nbytes / 1e6:.0f} MB in "
+        f"{time.time() - t0:.1f}s")
     # APD_SCALE_BAND_MODE overrides the band semantics for A/B runs
     # (default: the production DTWConfig default, diag since round 4).
     band_mode = os.environ.get("APD_SCALE_BAND_MODE", "")
