@@ -1749,10 +1749,10 @@ def _dtw_lane_diag_kernel(
     tj_map_ref,  # scalar-prefetch [U] i32
     lens_ref,    # scalar-prefetch [K] i32 (whole corpus lengths, SMEM)
     lbm_ref,     # scalar-prefetch [nT] i32 (per-tile representative length)
-    a_ref,       # SMEM [1, d+1, S] f32: channels (-2a | sqa), time-minor
+    a_ref,       # SMEM [stack, d+1, S] f32: channels (-2a | sqa), time-minor
     b_ref,       # VMEM [1, d+1, SPs, ti] f32: (b | sqb), TIME ON SUBLANES
     lb_ref,      # VMEM [1, 8, ti] i32 (lengths 8-replicated on sublanes)
-    out_ref,     # [1, 1, 8, ti] f32 (8-replicated sublane dim, see wrapper)
+    out_ref,     # [1, 1, 8*stack, ti] f32 (8-replicated per half, see wrapper)
     *,
     d: int,
     band: int,
@@ -1765,52 +1765,80 @@ def _dtw_lane_diag_kernel(
     kmax: int,        # class-static bound on the per-row center step
     unroll_rows: int,
     dyn_roll: bool,
+    stack: int,
 ):
-    """One A-row x ti diag-corridor DTWs.  Contracts: `rows` >= this A-row's
-    length; the class width/kmax statically cover every REAL pair's corridor
-    (wv >= band*max(1,slope) + |lb - lbm| + rounding, kmax >= ceil(slope));
-    out-of-frame pairs come back +inf (extraction slot outside [0, W_s))."""
+    """`stack` A-rows x ti diag-corridor DTWs.  Contracts: `rows` >= every
+    stacked A-row's length; the class width/kmax statically cover every REAL
+    pair's corridor (wv >= band*max(1,slope) + |lb - lbm| + rounding, kmax >=
+    ceil(slope)); out-of-frame pairs come back +inf (extraction slot outside
+    [0, W_s)).
+
+    Stacking (round 4): the W-slope probe measured the W=40/band=16 shape
+    LATENCY-bound — ~65% of program time is the per-row serial dependency
+    chain (rolls -> min -> scan), not element throughput (4x the stripe
+    width cost only 2.37x; BASELINE.md round-4 stacking entry).  `stack`
+    independent A-sequences therefore share one program (and one B tile),
+    their per-row stages traced INTERLEAVED so the VPU pipeline fills with
+    ops from the other chains while one chain's dependency stalls.  All
+    per-half f32 op sequences are identical to stack=1, so results are
+    bitwise-stable in `stack`."""
     W = width
     TI = b_ref.shape[3]
-    la = lens_ref[ti_map_ref[pl.program_id(0)] * TI + pl.program_id(1)]
+    HS = list(range(stack))
+    base_row = (
+        ti_map_ref[pl.program_id(0)] * TI + pl.program_id(1) * stack
+    )
+    la = [lens_ref[base_row + h] for h in HS]
     numm = lbm_ref[tj_map_ref[pl.program_id(0)]] - 1    # scalar i32 >= 0
-    den_t = la - 1                                      # true; 0 when la == 1
-    den = jnp.maximum(den_t, 1)                         # for the center division
-    half = den // 2
+    den_t = [la[h] - 1 for h in HS]                     # true; 0 when la == 1
+    den = [jnp.maximum(den_t[h], 1) for h in HS]        # center division
+    half = [den[h] // 2 for h in HS]
     lb = lb_ref[0, 0:1, :]                              # [1, TI]
     num = lb - 1                                        # [1, TI]
     r = int(max(int(band), 1))
-    thresh = r * jnp.maximum(den_t, num)                # [1, TI]
+    thresh = [r * jnp.maximum(den_t[h], num) for h in HS]   # [1, TI]
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
     # Corner slot: c(la-1) = numm exactly, so s* = (lb-1) - numm + off.
-    ex = sub == (lb - 1 - numm + off)                   # [W, TI]
+    ex = sub == (lb - 1 - numm + off)                   # [W, TI], shared
 
-    def center(i):
+    def center(i, h):
         # round(i * numm / den) as floor((i*numm + den//2)/den); clamped to
         # numm so dead rows (i >= la in a taller class) keep the dynamic
         # B slice in range and k at 0.
-        return jnp.minimum((i * numm + half) // den, numm)
+        return jnp.minimum((i * numm + half[h]) // den[h], numm)
 
-    def build_row(i, csh):
-        base = csh + padl - off
-        acc = b_ref[0, d, pl.ds(base, W), :]            # sqb  [W, TI]
-        acc = acc + a_ref[0, d, i]                      # + sqa (scalar)
-        for c in range(d):                              # + -2a.b
-            acc = acc + a_ref[0, c, i] * b_ref[0, c, pl.ds(base, W), :]
-        j = csh + sub - off                             # [W, 1]
+    def build_rows(i, csh):
+        # One DP row's masked cost per half, d-loop interleaved across
+        # halves (independent load/FMA chains).
+        base = [csh[h] + padl - off for h in HS]
+        acc = [b_ref[0, d, pl.ds(base[h], W), :] for h in HS]   # sqb [W, TI]
+        acc = [acc[h] + a_ref[h, d, i] for h in HS]             # + sqa
+        for c in range(d):                                      # + -2a.b
+            acc = [
+                acc[h] + a_ref[h, c, i] * b_ref[0, c, pl.ds(base[h], W), :]
+                for h in HS
+            ]
+        j = [csh[h] + sub - off for h in HS]                    # [W, 1]
         # Exact-int corridor predicate: |j*den_t - i*num| <= r*max(den_t,num).
         # i32 products stay < 2^25 at S=4096 (j <= S+W, i < S).
-        corr = jnp.abs(j * den_t - i * num) <= thresh   # [W, TI]
-        valid = (j >= 0) & (j < lb) & (i < la) & corr
+        corr = [
+            jnp.abs(j[h] * den_t[h] - i * num) <= thresh[h] for h in HS
+        ]                                                       # [W, TI]
+        valid = [
+            (j[h] >= 0) & (j[h] < lb) & (i < la[h]) & corr[h] for h in HS
+        ]
         if metric == "cosine":
-            cost = 1.0 - acc
+            cost = [1.0 - acc[h] for h in HS]
         else:
-            sq = jnp.maximum(acc, 0.0)
-            cost = jnp.sqrt(sq) if metric == "euclidean" else sq
-        return jnp.where(valid, cost, INF)
+            sq = [jnp.maximum(acc[h], 0.0) for h in HS]
+            cost = (
+                [jnp.sqrt(sq[h]) for h in HS]
+                if metric == "euclidean" else sq
+            )
+        return [jnp.where(valid[h], cost[h], INF) for h in HS]
 
-    def row_step(i, k, c, prev, out):
+    def row_steps(i, k, c, prev, out):
         # Carry realignment for a center step of k: up[s] = prev[s+k]
         # (k == 1 reduces to the straight lane kernel's frame).
         if dyn_roll:
@@ -1819,68 +1847,83 @@ def _dtw_lane_diag_kernel(
             # masked-roll select chain.  Shift (W - k) % W realigns by -k;
             # the mask absorbs the wrap (and any out-of-range k from pad
             # programs, whose rows are never extracted).
-            up = jnp.where(
-                sub < W - k, pltpu.roll(prev, (W - k) % W, axis=0), INF
-            )
+            up = [pltpu.roll(prev[h], (W - k[h]) % W, axis=0) for h in HS]
+            up = [jnp.where(sub < W - k[h], up[h], INF) for h in HS]
         else:
-            up = jnp.full_like(prev, INF)
-            for t in range(kmax + 1):
-                if t == 0:
-                    cand = prev
-                else:
-                    cand = jnp.where(
-                        sub < W - t, pltpu.roll(prev, W - t, axis=0), INF
-                    )
-                up = jnp.where(k == t, cand, up)
+            up = []
+            for h in HS:
+                u = jnp.full_like(prev[h], INF)
+                for t in range(kmax + 1):
+                    if t == 0:
+                        cand = prev[h]
+                    else:
+                        cand = jnp.where(
+                            sub < W - t,
+                            pltpu.roll(prev[h], W - t, axis=0),
+                            INF,
+                        )
+                    u = jnp.where(k[h] == t, cand, u)
+                up.append(u)
         # diag[s] = prev[s+k-1] = up[s-1].
-        diag = jnp.where(sub >= 1, pltpu.roll(up, 1, axis=0), INF)
-        e = c + jnp.minimum(diag, up)
-        ee, cc = e, c
+        diag = [
+            jnp.where(sub >= 1, pltpu.roll(up[h], 1, axis=0), INF)
+            for h in HS
+        ]
+        e = [c[h] + jnp.minimum(diag[h], up[h]) for h in HS]
+        ee, cc = list(e), list(c)
         for t in range(scan_steps):
             sh = 1 << t
             m = sub >= sh
-            ee = jnp.where(
-                m, jnp.minimum(ee, pltpu.roll(ee, sh, axis=0) + cc), ee
-            )
+            rolled = [pltpu.roll(ee[h], sh, axis=0) for h in HS]
+            ee = [
+                jnp.where(m, jnp.minimum(ee[h], rolled[h] + cc[h]), ee[h])
+                for h in HS
+            ]
             if t < scan_steps - 1:
-                cc = jnp.where(m, cc + pltpu.roll(cc, sh, axis=0), cc)
-        return ee, jnp.where((i == la - 1) & ex, ee, out)
+                crolled = [pltpu.roll(cc[h], sh, axis=0) for h in HS]
+                cc = [jnp.where(m, cc[h] + crolled[h], cc[h]) for h in HS]
+        out = [
+            jnp.where((i == la[h] - 1) & ex, ee[h], out[h]) for h in HS
+        ]
+        return ee, out
 
     UR = unroll_rows
     while UR > 1 and rows % UR:
         UR //= 2
 
     def row_body(i0, carry):
-        prev, out, csh_prev = carry
+        prev, out, csh_prev = (list(x) for x in carry)
         for kk in range(UR):
             i = i0 * UR + kk
-            csh = center(i)
-            k = csh - csh_prev
-            prev, out = row_step(i, k, build_row(i, csh), prev, out)
+            csh = [center(i, h) for h in HS]
+            k = [csh[h] - csh_prev[h] for h in HS]
+            prev, out = row_steps(i, k, build_rows(i, csh), prev, out)
             csh_prev = csh
-        return prev, out, csh_prev
+        return tuple(prev), tuple(out), tuple(csh_prev)
 
-    init = (
-        jnp.where(
-            jnp.broadcast_to(sub, (W, TI)) == off,
-            0.0,
-            jnp.full((W, TI), INF),
-        ),
+    init_prev = jnp.where(
+        jnp.broadcast_to(sub, (W, TI)) == off,
+        0.0,
         jnp.full((W, TI), INF),
+    )
+    init = (
+        tuple(init_prev for _ in HS),
+        tuple(jnp.full((W, TI), INF) for _ in HS),
         # Virtual row -1 center: c(-1) = -1 puts D[-1,-1] = 0 at slot off
         # and makes k_0 = center(0) + 1 = 1, the straight frame's first step.
-        jnp.int32(-1),
+        tuple(jnp.int32(-1) for _ in HS),
     )
     _, out_acc, _ = jax.lax.fori_loop(0, rows // UR, row_body, init)
-    out_ref[0, 0, :, :] = jnp.broadcast_to(
-        jnp.min(out_acc, axis=0, keepdims=True), (8, TI)
-    )
+    for h in HS:
+        out_ref[0, 0, 8 * h : 8 * h + 8, :] = jnp.broadcast_to(
+            jnp.min(out_acc[h], axis=0, keepdims=True), (8, TI)
+        )
 
 
 @partial(
     jax.jit,
     static_argnames=("ti", "band", "metric", "rows", "wv_max", "kmax",
-                     "unroll_rows", "interpret", "dyn_roll"),
+                     "unroll_rows", "interpret", "dyn_roll", "stack"),
 )
 def dtw_tile_lane_diag_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -1898,6 +1941,7 @@ def dtw_tile_lane_diag_pairs(
     unroll_rows: int = 8,
     interpret: bool = False,
     dyn_roll: bool = True,
+    stack: int = 1,
 ):
     """Diag-corridor DTW distances for U tile-pairs -> [U, ti, ti] blocks
     (band_mode="diag" semantics; oracle/dtw.py).  Layout and output contract
@@ -1909,7 +1953,11 @@ def dtw_tile_lane_diag_pairs(
     `kmax` (the static per-row center-step bound, ceil(slope)) matters only
     under dyn_roll=False, where the carry realignment is a kmax-deep select
     chain; the default dynamic-shift roll needs no bound (measured +9% on
-    the v5e and exact on both backends)."""
+    the v5e and exact on both backends).  `stack` packs that many
+    CONSECUTIVE A-rows (sorted => near-equal lengths) into one program as
+    independent interleaved DP chains — the latency-bound fix measured in
+    BASELINE.md's round-4 stacking entry; results are bitwise-stable in
+    `stack`."""
     import chex
 
     chex.assert_rank(feats, 3)
@@ -1919,6 +1967,9 @@ def dtw_tile_lane_diag_pairs(
         raise ValueError(f"K={K} must be padded to a multiple of ti={ti}")
     if band is None:
         raise ValueError("lane kernel requires a band")
+    stack = int(stack)
+    if stack < 1 or ti % stack:
+        raise ValueError(f"stack={stack} must divide ti={ti}")
     wv_max = max(int(band), int(wv_max))
     off = wv_max + 1
     W = 8 * -(-(2 * wv_max + 2) // 8)
@@ -1957,15 +2008,18 @@ def dtw_tile_lane_diag_pairs(
     kernel = partial(
         _dtw_lane_diag_kernel, d=d, band=int(band), metric=metric,
         rows=rows, width=W, off=off, padl=padl, scan_steps=scan_steps,
-        kmax=kmax, unroll_rows=unroll_rows, dyn_roll=dyn_roll,
+        kmax=kmax, unroll_rows=unroll_rows, dyn_roll=dyn_roll, stack=stack,
     )
+    RP = ti // stack
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(U, ti),
+        grid=(U, RP),
         in_specs=[
+            # Block index is in (stack)-row units: block r of tile im[u]
+            # covers corpus rows im[u]*ti + r*stack ... + stack.
             pl.BlockSpec(
-                (1, d + 1, S),
-                lambda u, r, im, jm, lp, bm: (im[u] * ti + r, 0, 0),
+                (stack, d + 1, S),
+                lambda u, r, im, jm, lp, bm: (im[u] * RP + r, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
@@ -1977,7 +2031,7 @@ def dtw_tile_lane_diag_pairs(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 8, ti), lambda u, r, im, jm, lp, bm: (u, r, 0, 0)
+            (1, 1, 8 * stack, ti), lambda u, r, im, jm, lp, bm: (u, r, 0, 0)
         ),
     )
     out = pl.pallas_call(
@@ -1986,7 +2040,7 @@ def dtw_tile_lane_diag_pairs(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        out_shape=jax.ShapeDtypeStruct((U, ti, 8, ti), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((U, RP, 8 * stack, ti), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=3 * U * ti * ti * rows * W * (d + scan_steps + kmax) // ti,
             bytes_accessed=U * (d + 1) * (S + SPs * ti) * 4 + U * ti * ti * 4,
@@ -1997,7 +2051,14 @@ def dtw_tile_lane_diag_pairs(
     )(ti_idx.astype(jnp.int32), tj_idx.astype(jnp.int32),
       lengths.astype(jnp.int32), tile_rep.astype(jnp.int32),
       a_aug, b_flip, lb_t)
-    return out[:, :, 0, :]
+    if stack == 1:
+        return out[:, :, 0, :]
+    # Half h of program (u, r) is corpus A-row r*stack + h: interleave the
+    # halves back into tile-row order (an XLA reshape over untiled dims).
+    parts = jnp.stack(
+        [out[:, :, 8 * h, :] for h in range(stack)], axis=2
+    )                                                    # [U, RP, stack, ti]
+    return parts.reshape(U, ti, out.shape[3])
 
 
 def diag_class_bounds(
