@@ -95,16 +95,17 @@ def dtw_block_kernel(
     valid = (gi[:, None] < len_a) & (gj[None, :] < len_b)
     if band is not None and band_mode == "diag":
         # Scaled corridor |j*(la-1) - i*(lb-1)| <= max(band,1)*max(la-1,lb-1)
-        # (oracle/dtw.py).  Products are computed in f32: exact below 2^24
-        # (la, lb <= 4096); past that the corridor EDGE can be off by one
-        # cell (corners stay exact — both products round identically), a
-        # documented fuzz far below the corridor width at such lengths.
-        den = (len_a - 1).astype(jnp.float32)
-        num = (len_b - 1).astype(jnp.float32)
-        r = float(max(int(band), 1))
+        # (oracle/dtw.py).  Products are computed in int32 — exact for
+        # lengths up to 2^15 frames per side (products < 2^31), matching
+        # the oracle predicate bit-for-bit on every length this framework
+        # routes; the earlier f32 form could flip corridor-edge cells past
+        # 2^24 (ADVICE r4).
+        den = (len_a - 1).astype(jnp.int32)
+        num = (len_b - 1).astype(jnp.int32)
+        r = jnp.int32(max(int(band), 1))
         lhs = jnp.abs(
-            gj[None, :].astype(jnp.float32) * den
-            - gi[:, None].astype(jnp.float32) * num
+            gj[None, :].astype(jnp.int32) * den
+            - gi[:, None].astype(jnp.int32) * num
         )
         valid &= lhs <= r * jnp.maximum(den, num)
     elif band is not None:

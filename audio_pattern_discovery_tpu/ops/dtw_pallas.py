@@ -1702,7 +1702,7 @@ def dtw_tile_lane_pairs(
         ),
         out_shape=jax.ShapeDtypeStruct((U, ti, 8, ti), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * U * ti * ti * rows * W * (d + scan_steps) // ti,
+            flops=3 * U * ti * ti * rows * W * (d + scan_steps),
             bytes_accessed=U * (d + 1) * (S + SPs * ti) * 4 + U * ti * ti * 4,
             transcendentals=U * ti * rows * W * ti
             if metric == "euclidean" else 0,
@@ -2042,7 +2042,7 @@ def dtw_tile_lane_diag_pairs(
         ),
         out_shape=jax.ShapeDtypeStruct((U, RP, 8 * stack, ti), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * U * ti * ti * rows * W * (d + scan_steps + kmax) // ti,
+            flops=3 * U * ti * ti * rows * W * (d + scan_steps + kmax),
             bytes_accessed=U * (d + 1) * (S + SPs * ti) * 4 + U * ti * ti * 4,
             transcendentals=U * ti * rows * W * ti
             if metric == "euclidean" else 0,
@@ -2338,7 +2338,7 @@ def dtw_tile_lane_full_pairs(
         ),
         out_shape=jax.ShapeDtypeStruct((U, ti, 8, ti), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * U * ti * ti * rows * W * (d + scan_steps) // ti,
+            flops=3 * U * ti * ti * rows * W * (d + scan_steps),
             bytes_accessed=U * (d + 1) * (S + W * ti) * 4 + U * ti * ti * 4,
             transcendentals=U * ti * rows * W * ti
             if metric == "euclidean" else 0,

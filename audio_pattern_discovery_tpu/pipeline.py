@@ -260,7 +260,9 @@ def _feature_fingerprint(cfg: PipelineConfig) -> str:
     for k in ("clip_batch", "chunk_frames", "max_resident_bytes", "resample"):
         sp.pop(k, None)
     dt = nondefault(cfg.dtw)
-    for k in ("pair_batch", "length_bucketing"):
+    # lane_stack is pure scheduling: stack-vs-1 bitwise identity is a
+    # tested kernel contract, so it may change between runs freely.
+    for k in ("pair_batch", "length_bucketing", "lane_stack"):
         dt.pop(k, None)
     ae = nondefault(cfg.autoencoder)
     if cfg.autoencoder.enabled:
@@ -270,6 +272,31 @@ def _feature_fingerprint(cfg: PipelineConfig) -> str:
         ae = {"enabled": False}
     payload = repr((sp, nondefault(cfg.segmentation), ae, dt))
     return hashlib.sha1(payload.encode()).hexdigest()
+
+
+def _check_band_mode(state: dict, cfg: PipelineConfig, what: str) -> None:
+    """Targeted band-semantics guard for index reuse (ADVICE r4).
+
+    The prior run's state.json records the band_mode its distances were
+    computed under (None when band was None).  A banded job whose current
+    mode differs gets an actionable error naming the fix, instead of the
+    generic spot-check drift failure it would otherwise hit.  Pre-round-5
+    indexes lack the key — those fall through to the dynamic spot check,
+    whose message names band_mode as a plausible cause for banded jobs.
+    """
+    if cfg.dtw.band is None or "band_mode" not in state:
+        return
+    stored = state["band_mode"]
+    current = cfg.dtw.band_mode
+    if stored is not None and stored != current:
+        raise ValueError(
+            f"{what}: the prior index was computed with "
+            f"dtw.band_mode={stored!r} but this run uses "
+            f"dtw.band_mode={current!r} — banded distances are not "
+            f"comparable across modes.  Re-run with "
+            f"-s dtw.band_mode={stored} to reuse the index, or run a "
+            f"full discovery to rebuild it under the new mode."
+        )
 
 
 def _prepare_corpus(
@@ -481,6 +508,7 @@ def discover(
     if update_from is not None:
         update_from = Path(update_from)
         update_state, D_old = _load_update_state(update_from)
+        _check_band_mode(update_state, cfg, "update_from")
         fp = _feature_fingerprint(cfg)
         if update_state["feature_fingerprint"] != fp:
             raise ValueError(
@@ -1065,6 +1093,13 @@ def write_artifacts(result: DiscoveryResult, out_dir: str | Path) -> None:
             [s.clip, s.start_frame, s.end_frame] for s in result.segments
         ],
         "feature_fingerprint": _feature_fingerprint(cfg),
+        # Band semantics are persisted explicitly (ADVICE r4): the diag
+        # default arrived in round 4, so the fingerprint's drop-defaults
+        # rule alone cannot distinguish a widen-era index from a diag one —
+        # update/query check this key for a TARGETED error instead of a
+        # generic spot-check drift failure.  None when band is None (the
+        # mode has no effect there).
+        "band_mode": cfg.dtw.band_mode if cfg.dtw.band is not None else None,
     }
     (out / "state.json").write_text(json.dumps(state))
     if cfg.output.write_features:

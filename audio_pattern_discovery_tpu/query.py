@@ -66,10 +66,17 @@ def spot_check_prior_distances(
     want = D_old[ii, jj]
     if not np.allclose(got, want, rtol=rtol, atol=atol):
         worst = float(np.abs(got - want).max())
+        hint = ""
+        if cfg.band is not None:
+            hint = (
+                "  If the index predates round 5 and was built under the "
+                "old banded default, its distances used "
+                "dtw.band_mode=widen — try -s dtw.band_mode=widen."
+            )
         raise ValueError(
             f"stored distances drifted from recomputed features (max "
             f"|delta| = {worst:.3g} over {n_pairs} spot pairs) — were corpus "
-            "files or the environment modified?  Run a full discovery."
+            f"files or the environment modified?  Run a full discovery.{hint}"
         )
 
 
@@ -98,6 +105,9 @@ def query_corpus(
     log = logger or get_logger()
     prior = Path(prior_out_dir)
     state, D_old = _load_update_state(prior)
+    from audio_pattern_discovery_tpu.pipeline import _check_band_mode
+
+    _check_band_mode(state, cfg, "query")
     if state["feature_fingerprint"] != _feature_fingerprint(cfg):
         raise ValueError(
             "query: a feature-affecting config section differs from the "

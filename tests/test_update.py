@@ -137,6 +137,35 @@ def test_update_rejects_feature_config_drift(tmp_path):
     discover(grow, recut, update_from=out)
 
 
+def test_update_rejects_band_mode_mismatch(tmp_path):
+    """ADVICE r4: a banded index reused under a different band_mode must
+    fail with a TARGETED error naming the stored mode (not the generic
+    fingerprint/spot-check drift failure), and state.json must record the
+    mode it was built under (None when band is None)."""
+    grow, later = _split_corpus(tmp_path, n_total=8, n_initial=6)
+    cfg = _cfg(ae=False)
+    cfg.dtw.band = 8
+    cfg.dtw.band_mode = "diag"
+    out = tmp_path / "out"
+    discover(grow, cfg, out_dir=out)
+    assert json.loads((out / "state.json").read_text())["band_mode"] == "diag"
+    for p in later:
+        shutil.copy(p, grow / p.name)
+    flipped = _cfg(ae=False)
+    flipped.dtw.band = 8
+    flipped.dtw.band_mode = "widen"
+    with pytest.raises(ValueError, match="band_mode='diag'"):
+        discover(grow, flipped, update_from=out)
+    # Same mode still reuses the index.
+    discover(grow, cfg, out_dir=tmp_path / "out2", update_from=out)
+
+    # Unbanded indexes record None and are mode-agnostic.
+    unb = _cfg(ae=False)
+    out3 = tmp_path / "out3"
+    discover(grow, unb, out_dir=out3)
+    assert json.loads((out3 / "state.json").read_text())["band_mode"] is None
+
+
 def test_update_rejects_removed_clip(tmp_path):
     grow, _ = _split_corpus(tmp_path, n_total=8, n_initial=8)
     cfg = _cfg(ae=False)

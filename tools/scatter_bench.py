@@ -82,12 +82,20 @@ def main() -> int:
         elif label == "native2":
             d_nat = s
 
-    # ---- strip mode (sampled strips if the full buffers would be huge) ----
-    max_strips = max(4, min(nT, int(2 * 2**30 / (ti * K * 4))))
-    strips = list(range(min(nT, max_strips)))
-    spairs = [(i, j) for i in strips for j in range(nT)]
-    print(f"strip mode: {len(strips)} sampled strips, "
-          f"{len(spairs)} strip_add pieces", file=sys.stderr)
+    # ---- strip mode (faithful to scatter_chunk: a pair (I, J) writes the
+    # block into strip I at c0 AND its transpose into strip J at r0, exactly
+    # strip_add).  All nT strips are allocated when the full strip state
+    # (= K^2 floats, same as D) fits a 2 GiB budget; otherwise both I and J
+    # are restricted to a sampled strip prefix so every mirror lands in an
+    # allocated buffer — the real scheduler's write pattern on a sub-square.
+    if K * K * 4 <= 2 * 2**30:
+        strips = list(range(nT))
+    else:
+        strips = list(range(max(4, int(2 * 2**30 / (ti * K * 4)))))
+    spairs = [(i, j) for i in strips for j in strips if j >= i]
+    n_pieces = sum(1 if i == j else 2 for i, j in spairs)
+    print(f"strip mode: {len(strips)} strips, {len(spairs)} tile-pairs = "
+          f"{n_pieces} strip_add pieces", file=sys.stderr)
 
     def run_strip(use_native: bool) -> float:
         bufs = {i: np.zeros((min(ti, K - i * ti), K), np.float32)
@@ -99,7 +107,7 @@ def main() -> int:
             if use_native:
                 native.scatter_block_strip(
                     blk, nr, nc, ls_f[r0:r0 + nr], ls_f[c0:c0 + nc],
-                    bufs[I], c0, None if I == J else bufs[I], r0,
+                    bufs[I], c0, None if I == J else bufs[J], r0,
                 )
                 continue
             b = blk[:nr, :nc] / (
@@ -110,7 +118,7 @@ def main() -> int:
                 bufs[I][:, c0:c0 + nc] = sym + sym.T
             else:
                 bufs[I][:, c0:c0 + nc] = b
-                bufs[I][:, r0:r0 + nr] = np.ascontiguousarray(b.T)[:nr]
+                bufs[J][:, r0:r0 + nr] = np.ascontiguousarray(b.T)
         # strip completion
         for i in strips:
             rows = perm[i * ti:i * ti + bufs[i].shape[0]]
