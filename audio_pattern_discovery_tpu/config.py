@@ -196,6 +196,15 @@ class DTWConfig:
     # gather at ~2 GiB so long buckets stay safe, and small corpora clamp
     # to their own pair count.
     pair_batch: int = 131_072
+    # Diag lane kernel chain interleaving: pack this many consecutive
+    # (length-sorted, so near-equal) A-rows into one kernel program as
+    # independent DP chains traced interleaved — fills the VPU pipeline
+    # where the narrow-stripe per-row dependency chain is latency-bound
+    # (ops/dtw_pallas._dtw_lane_diag_kernel).  Results are bitwise-stable
+    # in this knob (tested), so it is pure scheduling and excluded from
+    # the update/query fingerprint.  Power of two in [1, 8]; the scheduler
+    # clamps it to the SMEM budget per shape (effective_lane_stack).
+    lane_stack: int = 1
     max_seq_len: int = 256          # pad/bucket ceiling for segment length
     length_bucketing: bool = True
     use_pallas: bool = True         # anti-diagonal wavefront Pallas kernel
@@ -342,6 +351,10 @@ class PipelineConfig:
             f"cluster.auto_cut_min_rel_gap={cl.auto_cut_min_rel_gap} must be > 1",
         )
         check(dt.pair_batch > 0, "dtw.pair_batch must be > 0")
+        check(
+            dt.lane_stack in (1, 2, 4, 8),
+            f"dtw.lane_stack={dt.lane_stack} must be a power of two in [1, 8]",
+        )
         check(dt.max_seq_len > 0, "dtw.max_seq_len must be > 0")
         check(
             dt.metric in ("euclidean", "sqeuclidean", "cosine"),

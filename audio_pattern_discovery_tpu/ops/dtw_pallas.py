@@ -1773,15 +1773,16 @@ def _dtw_lane_diag_kernel(
     ceil(slope)); out-of-frame pairs come back +inf (extraction slot outside
     [0, W_s)).
 
-    Stacking (round 4): the W-slope probe measured the W=40/band=16 shape
-    LATENCY-bound — ~65% of program time is the per-row serial dependency
-    chain (rolls -> min -> scan), not element throughput (4x the stripe
-    width cost only 2.37x; BASELINE.md round-4 stacking entry).  `stack`
-    independent A-sequences therefore share one program (and one B tile),
-    their per-row stages traced INTERLEAVED so the VPU pipeline fills with
-    ops from the other chains while one chain's dependency stalls.  All
-    per-half f32 op sequences are identical to stack=1, so results are
-    bitwise-stable in `stack`."""
+    Stacking: the round-4 W-slope probe measured the narrow-corridor shape
+    LATENCY-bound — the per-row serial dependency chain (rolls -> min ->
+    scan), not element throughput, dominates (4x the stripe width cost
+    only 2.37x).  `stack` independent A-sequences therefore share one
+    program (and one B tile), their per-row stages traced INTERLEAVED so
+    the VPU pipeline fills with ops from the other chains while one
+    chain's dependency stalls.  All per-half f32 op sequences are
+    identical to stack=1, so results are bitwise-stable in `stack`
+    (proven: tests/test_dtw_diag.py stack parity tests; measured verdict:
+    BASELINE.md round-5 stacking entry)."""
     W = width
     TI = b_ref.shape[3]
     HS = list(range(stack))
@@ -1955,9 +1956,10 @@ def dtw_tile_lane_diag_pairs(
     chain; the default dynamic-shift roll needs no bound (measured +9% on
     the v5e and exact on both backends).  `stack` packs that many
     CONSECUTIVE A-rows (sorted => near-equal lengths) into one program as
-    independent interleaved DP chains — the latency-bound fix measured in
-    BASELINE.md's round-4 stacking entry; results are bitwise-stable in
-    `stack`."""
+    independent interleaved DP chains — the latency-bound lever for the
+    narrow-corridor shape (measured verdict: BASELINE.md round-5 stacking
+    entry); results are bitwise-stable in `stack` (tests/test_dtw_diag.py
+    stack parity)."""
     import chex
 
     chex.assert_rank(feats, 3)
@@ -2059,6 +2061,22 @@ def dtw_tile_lane_diag_pairs(
         [out[:, :, 8 * h, :] for h in range(stack)], axis=2
     )                                                    # [U, RP, stack, ti]
     return parts.reshape(U, ti, out.shape[3])
+
+
+def effective_lane_stack(requested: int, seq_len: int, feat_dim: int) -> int:
+    """Largest power-of-two stack <= `requested` whose SMEM A block
+    [stack, d+1, S] stays under lane_geometry's 320 KB cap (and divides
+    the 128-row tile).  The scheduler and bench call this so a config
+    knob of 4 degrades gracefully on long-sequence jobs instead of
+    failing the Mosaic SMEM allocation."""
+    S = 128 * -(-int(seq_len) // 128)
+    stack = 1 << (max(1, int(requested)).bit_length() - 1)  # pow2 floor
+    stack = min(stack, 128)
+    while stack > 1 and (
+        stack * (int(feat_dim) + 1) * S * 4 > 320 * 1024 or 128 % stack
+    ):
+        stack //= 2
+    return stack
 
 
 def diag_class_bounds(

@@ -43,6 +43,7 @@ from audio_pattern_discovery_tpu.ops.dtw_pallas import (
     dtw_tile_lane_full_pairs,
     dtw_tile_lane_pairs,
     dtw_tile_pairs,
+    effective_lane_stack,
     dtw_tile_stripe_pairs,
     lane_full_geometry,
     lane_geometry,
@@ -789,7 +790,19 @@ def all_pairs_distances_tiled(
     upload_s = time.perf_counter() - t_up
 
     rep_dev = None
+    lane_stack = 1
     if lane and diag:
+        # Chain interleaving (round 5): pack lane_stack consecutive sorted
+        # A-rows per program as independent DP chains — fills the VPU
+        # pipeline on the latency-bound narrow-corridor shape.  Clamped to
+        # the SMEM A-block budget per shape; bitwise-stable in the knob
+        # (tests/test_dtw_diag.py stack parity), so it never enters the
+        # class map, block cache tag, or feature fingerprint.
+        lane_stack = effective_lane_stack(
+            getattr(cfg, "lane_stack", 1), Lp, d
+        )
+        while lane_stack > 1 and ti % lane_stack:
+            lane_stack //= 2  # test geometries may use ti < 128
         pair_class = make_tile_lane_diag_class_fn(
             lens_p, nT, ti, Lp, int(cfg.band), K
         )
@@ -1076,7 +1089,7 @@ def all_pairs_distances_tiled(
                         jnp.asarray(ii), jnp.asarray(jj),
                         ti=ti, band=cfg.band, wv_max=wv_cls,
                         metric=cfg.metric, rows=rows_cls,
-                        interpret=interpret,
+                        stack=lane_stack, interpret=interpret,
                     )
             elif full:
                 def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,

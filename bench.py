@@ -356,12 +356,22 @@ def main() -> int:
         # scaled corridor keeps every class's stripe at O(band * ratio)
         # sublanes instead of O(|la-lb|), collapsing the wide wv classes
         # that dominated the widen-mode device time (BASELINE.md round-4).
+        from audio_pattern_discovery_tpu.config import DTWConfig
         from audio_pattern_discovery_tpu.ops.dtw_pallas import (
             dtw_tile_lane_diag_pairs,
+            effective_lane_stack,
             tile_rep_lengths,
         )
         from audio_pattern_discovery_tpu.parallel.pair_scheduler import (
             make_tile_lane_diag_class_fn,
+        )
+
+        # Chain-interleave stack: the bench measures whatever the config
+        # DEFAULT ships (bitwise-stable knob; APD_BENCH_STACK overrides
+        # for A/B sweeps without touching the config).
+        stack = effective_lane_stack(
+            int(os.environ.get("APD_BENCH_STACK", DTWConfig().lane_stack)),
+            SEQ_LEN, LATENT_DIM,
         )
 
         diag_class = make_tile_lane_diag_class_fn(
@@ -392,13 +402,13 @@ def main() -> int:
         log("diag lane classes: " + ", ".join(
             f"rows={c[0]} wv={c[1]}: {len(ii)} tile-pairs"
             for c, ii, jjj in dparts
-        ))
+        ) + f"; stack={stack}")
 
         def drun():
             return [
                 dtw_tile_lane_diag_pairs(
                     feats, lens, rep, ii, jjc, ti=ti, band=BAND,
-                    wv_max=cls[1], rows=cls[0],
+                    wv_max=cls[1], rows=cls[0], stack=stack,
                 )
                 for cls, ii, jjc in dparts
             ]

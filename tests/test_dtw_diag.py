@@ -376,3 +376,108 @@ def test_lane_diag_chain_fallback_matches_dyn_roll():
         jnp.asarray([0], np.int32), jnp.asarray([1], np.int32),
         dyn_roll=False, kmax=kmax, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------------ stack parity
+def test_lane_diag_stack_bitwise_parity():
+    # The kernel docstring claims results are BITWISE-stable in `stack`
+    # (every per-half f32 op sequence identical to stack=1) — prove it:
+    # same corpus, stack in {2, 4} vs 1, np.array_equal on the [U, ti, ti]
+    # blocks, including out-of-frame +inf slots and pad rows.
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
+        dtw_tile_lane_diag_pairs,
+        tile_rep_lengths,
+    )
+
+    rng = np.random.default_rng(21)
+    K, S, d, ti, band = 16, 32, 4, 8, 3
+    lens = np.sort(rng.integers(6, 33, K)).astype(np.int32)
+    feats = rng.normal(0, 1, (K, S, d)).astype(np.float32)
+    for k in range(K):
+        feats[k, lens[k]:] = 0.0
+    nT = K // ti
+    rep = tile_rep_lengths(lens, nT, ti, K)
+    wv, kmax = diag_class_bounds(
+        band, int(lens[:ti].min()), int(lens[:ti].max()),
+        int(lens[ti:].min()), int(lens[ti:].max()),
+    )
+    kw = dict(ti=ti, band=band, wv_max=wv, kmax=kmax,
+              rows=int(lens.max()), interpret=True)
+    ii = jnp.asarray([0, 0, 1], np.int32)
+    jj = jnp.asarray([0, 1, 1], np.int32)
+    base = np.asarray(dtw_tile_lane_diag_pairs(
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(rep),
+        ii, jj, stack=1, **kw))
+    for stack in (2, 4, 8):
+        got = np.asarray(dtw_tile_lane_diag_pairs(
+            jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(rep),
+            ii, jj, stack=stack, **kw))
+        np.testing.assert_array_equal(got, base)
+
+
+def test_lane_diag_stack_rejects_non_divisor():
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_tile_lane_diag_pairs,
+    )
+
+    feats = jnp.zeros((8, 32, 3), jnp.float32)
+    lens = jnp.full((8,), 8, jnp.int32)
+    rep = jnp.full((2,), 8, jnp.int32)
+    with pytest.raises(ValueError, match="stack"):
+        dtw_tile_lane_diag_pairs(
+            feats, lens, rep,
+            jnp.asarray([0], np.int32), jnp.asarray([1], np.int32),
+            ti=4, band=2, wv_max=4, stack=3, interpret=True,
+        )
+
+
+def test_effective_lane_stack_clamps():
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        effective_lane_stack,
+    )
+
+    # Small shapes keep the request (pow2-floored).
+    assert effective_lane_stack(1, 256, 8) == 1
+    assert effective_lane_stack(4, 256, 8) == 4
+    assert effective_lane_stack(3, 256, 8) == 2   # pow2 FLOOR
+    # SMEM budget: [stack, d+1, S] * 4 B <= 320 KB.  At S=4096, d=16 a
+    # single chain is already 280 KB short of doubling — clamps to 1.
+    assert effective_lane_stack(4, 4096, 16) == 1
+    # Mid shape: S=1024, d=16 -> one chain 68 KB, 4 chains 272 KB <= 320.
+    assert effective_lane_stack(4, 1024, 16) == 4
+    assert effective_lane_stack(8, 1024, 16) == 4
+    # Result always divides 128 (the production lane tile).
+    for req in (1, 2, 4, 8):
+        for S in (128, 512, 1024, 4096):
+            st = effective_lane_stack(req, S, 8)
+            assert st >= 1 and 128 % st == 0 and st <= req
+
+
+def test_diag_tiled_scheduler_stack_identity():
+    # Scheduler-level: cfg.lane_stack=4 must produce a bitwise-identical
+    # distance matrix (lane_stack is pure scheduling — excluded from the
+    # feature fingerprint and block cache tag on that contract).
+    import audio_pattern_discovery_tpu.parallel.pair_scheduler as ps
+    from audio_pattern_discovery_tpu.config import DTWConfig
+
+    rng = np.random.default_rng(22)
+    K, L, d = 40, 32, 4
+    feats = rng.normal(0, 1, (K, L, d)).astype(np.float32)
+    lens = rng.integers(8, 33, K).astype(np.int32)
+    kw = dict(interpret=True, geometry=(8, 0, 0), lane=True,
+              chunk_programs=4)
+    D1 = ps.all_pairs_distances_tiled(
+        feats, lens,
+        DTWConfig(band=4, band_mode="diag", normalize="path_len"),
+        **kw)
+    D4 = ps.all_pairs_distances_tiled(
+        feats, lens,
+        DTWConfig(band=4, band_mode="diag", normalize="path_len",
+                  lane_stack=4),
+        **kw)
+    np.testing.assert_array_equal(D1, D4)

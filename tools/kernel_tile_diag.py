@@ -72,6 +72,13 @@ def main() -> int:
                     help="drive the LANE-PACKED tile kernel (pairs on "
                          "lanes, stripe on sublanes; ti must be a "
                          "128-multiple on hardware)")
+    ap.add_argument("--diag", action="store_true",
+                    help="drive the DIAG-corridor lane kernel "
+                         "(dtw_tile_lane_diag_pairs, the production "
+                         "headline path); --sweep specs are stack values")
+    ap.add_argument("--stack", type=int, default=1,
+                    help="with --diag: interleaved A-row chains per "
+                         "program (config knob dtw.lane_stack)")
     ap.add_argument("--full", action="store_true",
                     help="drive the FULL-WIDTH (unbanded) lane kernel "
                          "(band=None fast path, round 4) and the per-pair "
@@ -103,12 +110,16 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
     from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
         dtw_batch_pallas,
+        dtw_tile_lane_diag_pairs,
         dtw_tile_lane_full_pairs,
         dtw_tile_lane_pairs,
         dtw_tile_pairs,
         dtw_tile_stripe_pairs,
+        tile_rep_lengths,
     )
 
     dev = jax.devices()[0]
@@ -123,6 +134,10 @@ def main() -> int:
     lengths = jax.random.randint(
         kk[1], (K,), S - args.ddmax, S + 1
     ).astype(jnp.int32)
+    if args.diag:
+        # Production-faithful: the scheduler length-sorts the corpus so
+        # tiles are length-coherent (class bounds stay tight).
+        lengths = jnp.sort(lengths)
     if args.rows is not None and args.rows < int(jnp.max(lengths)):
         log(f"ERROR: --rows {args.rows} < max length "
             f"{int(jnp.max(lengths))} violates the kernel's rows contract "
@@ -136,12 +151,40 @@ def main() -> int:
     ]
     stride = max(1, len(all_pairs) // 64)
     pairs = all_pairs[::stride][:64]
+    if args.diag:
+        # LONG side on DP rows, exactly the scheduler's orientation
+        # (tiles sorted ascending, so tile j >= i is the longer one).
+        pairs = [(j, i) for (i, j) in pairs]
     ii = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
     jj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
 
     wv_max = max(BAND, args.ddmax)
 
-    if args.full:
+    if args.diag:
+        lens_np = np.asarray(lengths)
+        rep = jnp.asarray(tile_rep_lengths(lens_np, nT, args.ti, K))
+        tmin = [int(lens_np[t * args.ti:(t + 1) * args.ti].min())
+                for t in range(nT)]
+        tmax = [int(lens_np[t * args.ti:(t + 1) * args.ti].max())
+                for t in range(nT)]
+        wv_d, kmax_d = BAND, 1
+        for a, b in pairs:
+            wv, km = diag_class_bounds(BAND, tmin[a], tmax[a],
+                                       tmin[b], tmax[b])
+            wv_d, kmax_d = max(wv_d, wv), max(kmax_d, km)
+        rows_d = max(tmax[a] for a, _ in pairs)
+        log(f"diag class bounds (single merged class over "
+            f"{len(pairs)} pairs): wv={wv_d} kmax={kmax_d} rows={rows_d} "
+            f"stack={args.stack}")
+
+        def run(stack=args.stack):
+            return dtw_tile_lane_diag_pairs(
+                feats, lengths, rep, ii, jj, ti=args.ti, band=BAND,
+                wv_max=wv_d, kmax=kmax_d,
+                rows=args.rows if args.rows is not None else rows_d,
+                unroll_rows=args.unroll_rows, stack=stack,
+                interpret=not on_tpu)
+    elif args.full:
         lmax = int(jnp.max(lengths))
         w_full = 8 * -(-lmax // 8)
 
@@ -187,10 +230,18 @@ def main() -> int:
     cu = rng.integers(0, args.ti, nchk)
     gi = np.array([pairs[p][0] * args.ti + r for p, r in zip(pu, ru)])
     gj = np.array([pairs[p][1] * args.ti + c for p, c in zip(pu, cu)])
-    ref = np.asarray(dtw_batch_pallas(
-        feats[gi], feats[gj], lengths[gi], lengths[gj],
-        band=None if args.full else BAND, max_len_diff=args.ddmax,
-        interpret=not on_tpu))
+    if args.diag:
+        # Diag semantics ride the pure-JAX scan path as reference (same
+        # Gram-trick numerics; its own oracle parity is pinned in
+        # tests/test_dtw_diag.py).
+        ref = np.asarray(dtw_batch(
+            feats[gi], feats[gj], lengths[gi], lengths[gj],
+            band=BAND, band_mode="diag"))
+    else:
+        ref = np.asarray(dtw_batch_pallas(
+            feats[gi], feats[gj], lengths[gi], lengths[gj],
+            band=None if args.full else BAND, max_len_diff=args.ddmax,
+            interpret=not on_tpu))
     got = blocks[pu, ru, cu]
     ok = np.allclose(got, ref, rtol=1e-4, atol=1e-4)
     log(f"tile parity vs per-pair kernel ({nchk} sampled pairs): "
@@ -209,7 +260,8 @@ def main() -> int:
         for o in outs:
             np.asarray(o)
         best = max(best, n_pairs * ITERS / (time.perf_counter() - t0))
-    kind = ("lane-full" if args.full else "lane" if args.lane
+    kind = ("lane-diag" if args.diag else "lane-full" if args.full
+            else "lane" if args.lane
             else ("tile-stripe" if args.stripe else "tile"))
     log(f"RESULT {kind}: {best:,.0f} pairs/s over {n_pairs} pairs/dispatch")
 
@@ -251,6 +303,18 @@ def main() -> int:
                 np.asarray(o)
             b = max(b, n * iters / (time.perf_counter() - t0))
         return b
+
+    if args.diag and args.sweep:
+        # diag sweep specs: STACK values (the chain-interleave knob),
+        # e.g. --sweep '1;2;4' — one process, one handshake.
+        for spec in args.sweep.split(";"):
+            st = int(spec)
+            try:
+                r = time_cfg(lambda st=st: run(stack=st), n_pairs)
+                log(f"SWEEP {kind} stack={st}: {r:,.0f} pairs/s")
+            except Exception as e:  # noqa: BLE001
+                log(f"SWEEP {kind} stack={st}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:200]}")
 
     if (args.lane or args.full) and args.sweep:
         # lane sweep specs: 'ur' per config (geometry is fixed by ti)
