@@ -956,13 +956,35 @@ def all_pairs_distances_tiled(
             r0, c0 = I * ti, J * ti
             # pad sequences (sorted index >= K) exist only in the last tile
             nr, nc = min(ti, K - r0), min(ti, K - c0)
+            if use_native and not direct:
+                # Round 5: fused strip writes — ONE pass over the raw block
+                # does normalize + strip-I rows + transposed strip-J rows,
+                # in a ctypes call that RELEASES THE GIL for its whole
+                # duration.  The raw write is ~0.88x NumPy (round-4 A/B),
+                # but the NumPy chain (divide temp, triu, .T copy) holds
+                # the GIL on the scatter worker and starves the main
+                # thread's dispatch loop on the 1-core host — the K=40k
+                # "other-host" tail (114.6 s, BASELINE.md round 4).
+                bufI = _strip_buf(I)
+                lr = ls_f[r0 : r0 + nr] if norm else None
+                lc = ls_f[c0 : c0 + nc] if norm else None
+                if I == J:
+                    native.scatter_block_strip(
+                        blk, nr, nc, lr, lc, bufI, c0, None, 0
+                    )
+                    _strip_dec(I)
+                else:
+                    bufJ = _strip_buf(J)
+                    native.scatter_block_strip(
+                        blk, nr, nc, lr, lc, bufI, c0, bufJ, r0
+                    )
+                    _strip_dec(I)
+                    _strip_dec(J)
+                continue
             if use_native and direct:
-                # Strip-mode blocks stay on the NumPy path: their writes
-                # are big contiguous row copies NumPy already saturates
-                # (native measured 0.88x there, tools/scatter_bench.py);
-                # the native win is the direct mode's permuted scatter
-                # (1.9x) and the strip completion gather (1.7x, in
-                # _strip_dec above).
+                # The native win here is the permuted scatter (1.9x) with
+                # normalization inlined; strip completion rides
+                # native.strip_unpermute in _strip_dec above (1.7x).
                 native.scatter_block_direct(
                     blk, nr, nc,
                     ls_f[r0 : r0 + nr] if norm else None,
