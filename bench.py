@@ -437,6 +437,11 @@ def main() -> int:
             + " pairs/s (reporting best)"
         )
         device_s = min(windows)
+        # Median of the same 6 windows: the headline takes best-of-6 while
+        # every comparison row takes best-of-3 (the asymmetry VERDICT r4
+        # flagged); reporting the median alongside keeps `value` comparable
+        # across rounds while making the window spread part of the record.
+        headline_median_s = sorted(windows)[len(windows) // 2]
         BATCH_EFF = tile_pairs_n
     else:
         # No TPU (debug run): fall back to the scan wavefront, still on-device.
@@ -457,6 +462,7 @@ def main() -> int:
             dtw_batch(*args, band=BAND, normalize="path_len", band_mode="diag")
         )
         device_s = (time.perf_counter() - t0) * (BATCH / small)
+        headline_median_s = device_s
         BATCH_EFF = BATCH
 
     tpu_pairs_per_sec = BATCH_EFF / device_s
@@ -610,6 +616,7 @@ def main() -> int:
     line = {
         "metric": "banded_dtw_pair_alignments_per_sec",
         "value": round(tpu_pairs_per_sec, 1),
+        "value_median": round(BATCH_EFF / headline_median_s, 1),
         "unit": "pairs/s",
         "vs_baseline": sig3(vs_baseline),
         "vs_baseline_multicore": sig3(vs_multi),

@@ -37,6 +37,8 @@ def test_bench_cpu_fallback_prints_json_line():
     assert rec["metric"] == "banded_dtw_pair_alignments_per_sec"
     assert rec["unit"] == "pairs/s"
     assert rec["value"] > 0
+    assert rec["value_median"] > 0
+    assert rec["value_median"] <= rec["value"] * 1.001  # best >= median
     assert rec["vs_baseline"] > 0
     # Round-3 addition: the multicore reading is self-describing.
     assert rec["vs_baseline_multicore"] > 0
