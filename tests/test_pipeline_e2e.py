@@ -372,6 +372,80 @@ def test_behavior_matches_committed_golden_mfcc_pca(tmp_path):
     assert partition(result.labels) == partition(ref["labels"])
 
 
+def test_behavior_matches_committed_golden_lenvar(tmp_path):
+    """Third cross-round anchor (VERDICT r4 item 3): a LENGTH-VARIED corpus
+    (motif durations 0.15-0.6 s, segment lengths spanning >= 2x) pins the
+    round-4 band_mode="diag" DEFAULT exactly where it DIFFERS from the
+    rounds-1-3 "widen" semantics — both seed-7 anchors are unchanged across
+    that flip precisely because their pairs are mode-identical, so without
+    this anchor no committed artifact covers the changed semantics.  The
+    test also PROVES the coverage: diag and widen disagree on at least one
+    segment pair of this corpus.  Recorded under the suite env (8-virtual-
+    device CPU mesh); re-record tests/golden/GOLDEN_cpu_lenvar_seed11.npz
+    via tools/record_golden_anchors.py and justify in the commit message if
+    a change legitimately alters behavior."""
+    import pathlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_pattern_discovery_tpu.config import PipelineConfig
+    from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+    from audio_pattern_discovery_tpu.pipeline import discover
+    from audio_pattern_discovery_tpu.synthetic import make_corpus
+
+    golden_path = (
+        pathlib.Path(__file__).parent / "golden" / "GOLDEN_cpu_lenvar_seed11.npz"
+    )
+    make_corpus(
+        tmp_path / "corpus", n_clips=10, n_motifs=3,
+        motif_seconds=(0.15, 0.6), seed=11,
+    )
+    cfg = PipelineConfig()
+    cfg.dtw.band = 16
+    cfg.output.write_snippets = False
+    cfg.output.write_images = False
+    cfg.output.write_html_report = False
+    assert cfg.dtw.band_mode == "diag"  # pinning the DEFAULT semantics
+    result = discover(tmp_path / "corpus", cfg)
+
+    # Coverage proof 1: the corpus actually spans >= 2x segment lengths.
+    lens = np.asarray(result.seg_lengths)
+    assert int(lens.max()) >= 2 * int(lens.min()), (lens.min(), lens.max())
+
+    # Coverage proof 2: diag != widen on at least one pair of THIS corpus.
+    # All pairs are probed: EXTREME skew pairs agree (both corridors cover
+    # the whole rectangle there) — the divergence lives at moderate ratios
+    # (recorded: 15/153 pairs differ, max |delta| 41.2, argmax at lengths
+    # 184 x 32), so a corner-pairs-only probe would falsely fail.
+    ia, ib = np.triu_indices(len(lens), 1)
+    feats = jnp.asarray(result.seg_features)
+    la = jnp.asarray(lens[ia])
+    lb = jnp.asarray(lens[ib])
+    d_diag = np.asarray(dtw_batch(
+        feats[ia], feats[ib], la, lb, band=16, band_mode="diag"))
+    d_widen = np.asarray(dtw_batch(
+        feats[ia], feats[ib], la, lb, band=16, band_mode="widen"))
+    assert np.max(np.abs(d_diag - d_widen)) > 1e-3, (
+        "diag and widen agree on every pair — the anchor would not "
+        "cover the changed semantics"
+    )
+
+    ref = np.load(golden_path)
+    assert result.distance_matrix.shape == ref["D"].shape
+    np.testing.assert_allclose(
+        result.distance_matrix, ref["D"], rtol=1e-4, atol=1e-5
+    )
+
+    def partition(labels):
+        groups = {}
+        for i, lab in enumerate(labels):
+            groups.setdefault(int(lab), []).append(i)
+        return sorted(tuple(g) for g in groups.values())
+
+    assert partition(result.labels) == partition(ref["labels"])
+
+
 @pytest.mark.full
 def test_mulaw8_upload_quality_parity(tmp_path):
     """upload_codec="mulaw8" (half-of-int16 bandwidth) must preserve
