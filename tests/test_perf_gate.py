@@ -182,6 +182,77 @@ def test_lane_kernel_throughput_floor(rng):
     assert best >= floor, f"lane kernel {best:,.0f} pairs/s < floor {floor:,.0f}"
 
 
+def _diag_fixture(rng, K, S, ti, d):
+    """Length-varied sorted corpus + long-on-rows pair orientation + merged
+    class bounds — the production diag-lane configuration (round 4's
+    headline path; the scheduler does exactly this)."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
+        tile_rep_lengths,
+    )
+
+    lens_np = np.sort(rng.integers(S // 2, S + 1, K)).astype(np.int32)
+    nT = K // ti
+    rep = jnp.asarray(tile_rep_lengths(lens_np, nT, ti, K))
+    tmin = [int(lens_np[t * ti:(t + 1) * ti].min()) for t in range(nT)]
+    tmax = [int(lens_np[t * ti:(t + 1) * ti].max()) for t in range(nT)]
+    pairs = [(j, i) for i in range(nT) for j in range(i + 1, nT)][:32]
+    wv_d, kmax_d = 16, 1
+    for a, b in pairs:
+        wv, km = diag_class_bounds(16, tmin[a], tmax[a], tmin[b], tmax[b])
+        wv_d, kmax_d = max(wv_d, wv), max(kmax_d, km)
+    rows_d = max(tmax[a] for a, _ in pairs)
+    ii = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    jj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+    return lens_np, rep, ii, jj, wv_d, kmax_d, rows_d, len(pairs)
+
+
+@pytest.mark.tpu
+def test_diag_lane_kernel_throughput_floor(rng):
+    """Round-4/5 HEADLINE kernel (diag corridor, long-on-rows): healthy
+    ~4.5-5.1M pairs/s at the bench's length mix, worst recorded weather
+    window 2.25M (BASELINE.md round-4 orientation entry); floor 1.2M rides
+    the recorded spread while catching a ~2x kernel regression.  VERDICT r4
+    item 2: gate the PRODUCTION kernel, not its predecessors."""
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_tile_lane_diag_pairs,
+    )
+
+    floor = float(os.environ.get("APD_PERF_FLOOR_DIAG", 1_200_000))
+    S, d, ti = 128, 16, 128
+    K = 9 * ti
+    lens_np, rep, ii, jj, wv_d, kmax_d, rows_d, npr = _diag_fixture(
+        rng, K, S, ti, d
+    )
+    feats = jnp.asarray(rng.normal(0, 1, (K, S, d)).astype(np.float32))
+    lens = jnp.asarray(lens_np)
+    n = npr * ti * ti
+
+    def run():
+        return dtw_tile_lane_diag_pairs(
+            feats, lens, rep, ii, jj, ti=ti, band=16,
+            wv_max=wv_d, kmax=kmax_d, rows=rows_d,
+        )
+
+    np.asarray(run())  # compile + warm
+    for o in [run() for _ in range(2)]:
+        np.asarray(o)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(3)]
+        for o in outs:
+            np.asarray(o)
+        best = max(best, 3 * n / (time.perf_counter() - t0))
+    assert best >= floor, (
+        f"diag lane kernel {best:,.0f} pairs/s < floor {floor:,.0f}"
+    )
+
+
 @pytest.mark.tpu
 def test_kernel_ratio_gates(rng):
     """Weather-immune regression gates (VERDICT r3 item 6): the lane and
@@ -202,12 +273,14 @@ def test_kernel_ratio_gates(rng):
 
     from audio_pattern_discovery_tpu.ops.dtw_pallas import (
         dtw_batch_pallas,
+        dtw_tile_lane_diag_pairs,
         dtw_tile_lane_pairs,
         dtw_tile_pairs,
         tile_geometry,
     )
 
     lane_floor = float(os.environ.get("APD_PERF_RATIO_LANE", 3.0))
+    diag_floor = float(os.environ.get("APD_PERF_RATIO_DIAG", 3.0))
     tile_floor = float(os.environ.get("APD_PERF_RATIO_TILE", 1.5))
     inject = int(os.environ.get("APD_PERF_INJECT_SLOWDOWN", 1))
 
@@ -244,6 +317,31 @@ def test_kernel_ratio_gates(rng):
             for _ in range(inject)
         ]
 
+    # Diag (headline) kernel over the SAME corpus: class bounds from the
+    # real helper so the gate exercises the production configuration.
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
+        tile_rep_lengths,
+    )
+
+    rep = jnp.asarray(tile_rep_lengths(lens_np, 9, ti, K))
+    tmin = [int(lens_np[t * ti:(t + 1) * ti].min()) for t in range(9)]
+    tmax = [int(lens_np[t * ti:(t + 1) * ti].max()) for t in range(9)]
+    wv_d, kmax_d = 16, 1
+    for a, b in pairs[:32]:
+        wv, km = diag_class_bounds(16, tmin[a], tmax[a], tmin[b], tmax[b])
+        wv_d, kmax_d = max(wv_d, wv), max(kmax_d, km)
+    rows_d = int(lens_np.max())
+
+    def run_diag():
+        return [
+            dtw_tile_lane_diag_pairs(
+                feats, lens, rep, ii, jj, ti=ti, band=16,
+                wv_max=wv_d, kmax=kmax_d, rows=rows_d,
+            )
+            for _ in range(inject)
+        ]
+
     def run_tile():
         return [
             dtw_tile_pairs(feats, lens, ii, jj, ti=ti, su=su, sv=sv, band=16)
@@ -269,11 +367,16 @@ def test_kernel_ratio_gates(rng):
     # Interleave: legacy measured in the SAME windows bracketing the
     # all-pairs kernels, so a mid-test weather shift cannot fake a ratio.
     legacy1 = rate(run_legacy, n_pp)
+    diag = rate(run_diag, n_tile)
     lane = rate(run_lane, n_tile)
     tile = rate(run_tile, n_tile)
     legacy2 = rate(run_legacy, n_pp)
     legacy = max(legacy1, legacy2)
 
+    assert diag >= diag_floor * legacy, (
+        f"diag/legacy ratio {diag / legacy:.2f} < {diag_floor} "
+        f"(diag {diag:,.0f}, legacy {legacy:,.0f} pairs/s)"
+    )
     assert lane >= lane_floor * legacy, (
         f"lane/legacy ratio {lane / legacy:.2f} < {lane_floor} "
         f"(lane {lane:,.0f}, legacy {legacy:,.0f} pairs/s)"
@@ -285,7 +388,7 @@ def test_kernel_ratio_gates(rng):
     if os.environ.get("APD_PERF_RETURN_RATIOS") == "1":
         # consumed by test_ratio_gate_catches_injected_slowdown only; a
         # plain pytest run never sees a non-None test return.
-        return lane / legacy, tile / legacy
+        return diag / legacy, lane / legacy, tile / legacy
 
 
 @pytest.mark.tpu
@@ -359,8 +462,18 @@ def test_ratio_gate_catches_injected_slowdown(rng, monkeypatch):
     far more than 64-program chunks — measured 20x on 2026-08-19), so no
     static floor can both hold in good weather and trip here in bad."""
     monkeypatch.setenv("APD_PERF_RETURN_RATIOS", "1")
-    lane_r, _ = test_kernel_ratio_gates(rng)
+    diag_r, lane_r, _ = test_kernel_ratio_gates(rng)
     monkeypatch.setenv("APD_PERF_INJECT_SLOWDOWN", "4")
+    # VERDICT r4 item 2's done bar: the injected slowdown of the DIAG
+    # (headline) kernel must trip ITS gate.  Lane/tile floors are zeroed so
+    # the failure is attributable to the diag assertion alone.
+    monkeypatch.setenv("APD_PERF_RATIO_DIAG", str(diag_r * 0.5))
+    monkeypatch.setenv("APD_PERF_RATIO_LANE", "0")
+    monkeypatch.setenv("APD_PERF_RATIO_TILE", "0")
+    with pytest.raises(AssertionError, match="diag/legacy ratio"):
+        test_kernel_ratio_gates(rng)
+    # And independently for the straight lane kernel (round-4 proof kept).
+    monkeypatch.setenv("APD_PERF_RATIO_DIAG", "0")
     monkeypatch.setenv("APD_PERF_RATIO_LANE", str(lane_r * 0.5))
-    with pytest.raises(AssertionError, match="ratio"):
+    with pytest.raises(AssertionError, match="lane/legacy ratio"):
         test_kernel_ratio_gates(rng)
