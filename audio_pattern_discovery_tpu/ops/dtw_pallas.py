@@ -1766,12 +1766,15 @@ def _dtw_lane_diag_kernel(
     unroll_rows: int,
     dyn_roll: bool,
     stack: int,
+    a_ti: int,
+    aligned_loads: bool,
 ):
-    """`stack` A-rows x ti diag-corridor DTWs.  Contracts: `rows` >= every
-    stacked A-row's length; the class width/kmax statically cover every REAL
-    pair's corridor (wv >= band*max(1,slope) + |lb - lbm| + rounding, kmax >=
-    ceil(slope)); out-of-frame pairs come back +inf (extraction slot outside
-    [0, W_s)).
+    """`stack` A-rows x TI diag-corridor DTWs (TI = the B lane width =
+    `bgroup` B tiles of `a_ti` sequences each, lane-concatenated).
+    Contracts: `rows` >= every stacked A-row's length; the class width/kmax
+    statically cover every REAL pair's corridor (wv >= band*max(1,slope) +
+    |lb - lbm| + rounding, kmax >= ceil(slope)); out-of-frame pairs come
+    back +inf (extraction slot outside [0, W_s)).
 
     Stacking: the round-4 W-slope probe measured the narrow-corridor shape
     LATENCY-bound — the per-row serial dependency chain (rolls -> min ->
@@ -1782,12 +1785,15 @@ def _dtw_lane_diag_kernel(
     chain's dependency stalls.  All per-half f32 op sequences are
     identical to stack=1, so results are bitwise-stable in `stack`
     (proven: tests/test_dtw_diag.py stack parity tests; measured verdict:
-    BASELINE.md round-5 stacking entry)."""
+    BASELINE.md round-5 stacking entry — interleaving does NOT pay: the
+    per-row ops are ISSUE-bound, not stall-bound.  The lever that does
+    attack issue-boundedness is `bgroup` lane WIDENING, which keeps the op
+    count fixed while making every op wider; see dtw_tile_lane_diag_pairs)."""
     W = width
     TI = b_ref.shape[3]
     HS = list(range(stack))
     base_row = (
-        ti_map_ref[pl.program_id(0)] * TI + pl.program_id(1) * stack
+        ti_map_ref[pl.program_id(0)] * a_ti + pl.program_id(1) * stack
     )
     la = [lens_ref[base_row + h] for h in HS]
     numm = lbm_ref[tj_map_ref[pl.program_id(0)]] - 1    # scalar i32 >= 0
@@ -1813,13 +1819,37 @@ def _dtw_lane_diag_kernel(
         # One DP row's masked cost per half, d-loop interleaved across
         # halves (independent load/FMA chains).
         base = [csh[h] + padl - off for h in HS]
-        acc = [b_ref[0, d, pl.ds(base[h], W), :] for h in HS]   # sqb [W, TI]
-        acc = [acc[h] + a_ref[h, d, i] for h in HS]             # + sqa
-        for c in range(d):                                      # + -2a.b
+        if aligned_loads:
+            # Lane widths > 128 (bgroup > 1): Mosaic's multi-vreg-column
+            # vector.load requires a PROVABLY 8-aligned dynamic sublane
+            # offset.  Load W+8 sublanes from the 8-floor of base,
+            # accumulate wide, then ONE traced roll per row realigns to
+            # the canonical frame — per-element f32 values are identical
+            # to the unaligned path (the wrapper pads B by 8 extra
+            # sublanes so the wide window stays in range).
+            base8 = [(base[h] // 8) * 8 for h in HS]
+            dlt = [base[h] - base8[h] for h in HS]
+            WW = W + 8
+            acc = [b_ref[0, d, pl.ds(base8[h], WW), :] for h in HS]
+            acc = [acc[h] + a_ref[h, d, i] for h in HS]
+            for c in range(d):
+                acc = [
+                    acc[h]
+                    + a_ref[h, c, i] * b_ref[0, c, pl.ds(base8[h], WW), :]
+                    for h in HS
+                ]
             acc = [
-                acc[h] + a_ref[h, c, i] * b_ref[0, c, pl.ds(base[h], W), :]
-                for h in HS
+                pltpu.roll(acc[h], WW - dlt[h], axis=0)[:W] for h in HS
             ]
+        else:
+            acc = [b_ref[0, d, pl.ds(base[h], W), :] for h in HS]  # [W, TI]
+            acc = [acc[h] + a_ref[h, d, i] for h in HS]            # + sqa
+            for c in range(d):                                     # + -2a.b
+                acc = [
+                    acc[h]
+                    + a_ref[h, c, i] * b_ref[0, c, pl.ds(base[h], W), :]
+                    for h in HS
+                ]
         j = [csh[h] + sub - off for h in HS]                    # [W, 1]
         # Exact-int corridor predicate: |j*den_t - i*num| <= r*max(den_t,num).
         # i32 products stay < 2^25 at S=4096 (j <= S+W, i < S).
@@ -1924,7 +1954,8 @@ def _dtw_lane_diag_kernel(
 @partial(
     jax.jit,
     static_argnames=("ti", "band", "metric", "rows", "wv_max", "kmax",
-                     "unroll_rows", "interpret", "dyn_roll", "stack"),
+                     "unroll_rows", "interpret", "dyn_roll", "stack",
+                     "bgroup"),
 )
 def dtw_tile_lane_diag_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -1943,6 +1974,7 @@ def dtw_tile_lane_diag_pairs(
     interpret: bool = False,
     dyn_roll: bool = True,
     stack: int = 1,
+    bgroup: int = 1,
 ):
     """Diag-corridor DTW distances for U tile-pairs -> [U, ti, ti] blocks
     (band_mode="diag" semantics; oracle/dtw.py).  Layout and output contract
@@ -1972,11 +2004,19 @@ def dtw_tile_lane_diag_pairs(
     stack = int(stack)
     if stack < 1 or ti % stack:
         raise ValueError(f"stack={stack} must divide ti={ti}")
+    bgroup = int(bgroup)
+    if bgroup < 1 or (K // ti) % bgroup:
+        raise ValueError(
+            f"bgroup={bgroup} must divide the tile count {K // ti}"
+        )
     wv_max = max(int(band), int(wv_max))
     off = wv_max + 1
     W = 8 * -(-(2 * wv_max + 2) // 8)
     padl = 8 * -(-off // 8)
-    SPs = padl + S + W
+    # bgroup > 1 loads W+8 sublanes from the 8-aligned floor of the dynamic
+    # base (Mosaic alignment contract for multi-vreg-column lane widths);
+    # 8 extra right-pad sublanes keep the wide window in range.
+    SPs = padl + S + W + (8 if bgroup > 1 else 0)
     scan_steps = int(max(1, (2 * wv_max).bit_length()))
     rows = S if rows is None else min(rows, S)
     kmax = int(max(1, kmax))
@@ -1997,13 +2037,29 @@ def dtw_tile_lane_diag_pairs(
         sq_b = sq
     a_aug = jnp.concatenate([a_ch, sq_a], axis=1)        # [K, d+1, S]
     nT = K // ti
+    # B lane width: `bgroup` consecutive sorted B tiles lane-concatenated
+    # per block.  tj_idx then indexes SUPERTILES (tile j // bgroup; lanes
+    # [g*ti:(g+1)*ti] of the output are tile bgroup*tj + g) and tile_rep
+    # holds one representative length per supertile.  Widening is pure op
+    # geometry — per-lane op sequences are identical to bgroup=1, so
+    # results are bitwise-stable in the knob (tests/test_dtw_diag.py
+    # bgroup parity).
+    TIB = ti * bgroup
+    nTB = nT // bgroup
+    if tile_rep.shape[0] != nTB:
+        raise ValueError(
+            f"tile_rep has {tile_rep.shape[0]} entries, want "
+            f"nT // bgroup = {nTB}"
+        )
     b_aug = jnp.concatenate([b_ch, sq_b], axis=1)        # [K, d+1, S]
-    b_aug = jnp.pad(b_aug, ((0, 0), (0, 0), (padl, W)))  # [K, d+1, SPs]
+    b_aug = jnp.pad(
+        b_aug, ((0, 0), (0, 0), (padl, SPs - padl - S))
+    )                                                    # [K, d+1, SPs]
     b_flip = jnp.transpose(
-        b_aug.reshape(nT, ti, d + 1, SPs), (0, 2, 3, 1)
-    )                                                    # [nT, d+1, SPs, ti]
+        b_aug.reshape(nTB, TIB, d + 1, SPs), (0, 2, 3, 1)
+    )                                                    # [nTB, d+1, SPs, TIB]
     lb_t = jnp.broadcast_to(
-        lengths.astype(jnp.int32).reshape(nT, 1, ti), (nT, 8, ti)
+        lengths.astype(jnp.int32).reshape(nTB, 1, TIB), (nTB, 8, TIB)
     )
     U = ti_idx.shape[0]
 
@@ -2011,6 +2067,7 @@ def dtw_tile_lane_diag_pairs(
         _dtw_lane_diag_kernel, d=d, band=int(band), metric=metric,
         rows=rows, width=W, off=off, padl=padl, scan_steps=scan_steps,
         kmax=kmax, unroll_rows=unroll_rows, dyn_roll=dyn_roll, stack=stack,
+        a_ti=ti, aligned_loads=bgroup > 1,
     )
     RP = ti // stack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -2025,15 +2082,15 @@ def dtw_tile_lane_diag_pairs(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, d + 1, SPs, ti),
+                (1, d + 1, SPs, TIB),
                 lambda u, r, im, jm, lp, bm: (jm[u], 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 8, ti), lambda u, r, im, jm, lp, bm: (jm[u], 0, 0)
+                (1, 8, TIB), lambda u, r, im, jm, lp, bm: (jm[u], 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 8 * stack, ti), lambda u, r, im, jm, lp, bm: (u, r, 0, 0)
+            (1, 1, 8 * stack, TIB), lambda u, r, im, jm, lp, bm: (u, r, 0, 0)
         ),
     )
     out = pl.pallas_call(
@@ -2042,11 +2099,12 @@ def dtw_tile_lane_diag_pairs(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        out_shape=jax.ShapeDtypeStruct((U, RP, 8 * stack, ti), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((U, RP, 8 * stack, TIB), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * U * ti * ti * rows * W * (d + scan_steps + kmax),
-            bytes_accessed=U * (d + 1) * (S + SPs * ti) * 4 + U * ti * ti * 4,
-            transcendentals=U * ti * rows * W * ti
+            flops=3 * U * ti * TIB * rows * W * (d + scan_steps + kmax),
+            bytes_accessed=U * (d + 1) * (S + SPs * TIB) * 4
+            + U * ti * TIB * 4,
+            transcendentals=U * ti * rows * W * TIB
             if metric == "euclidean" else 0,
         ),
         interpret=interpret,

@@ -481,3 +481,131 @@ def test_diag_tiled_scheduler_stack_identity():
                   lane_stack=4),
         **kw)
     np.testing.assert_array_equal(D1, D4)
+
+
+# ------------------------------------------------------------ bgroup parity
+def test_lane_diag_bgroup_bitwise_parity():
+    # B-tile lane grouping (round 5): `bgroup` consecutive sorted B tiles
+    # lane-concatenated per program.  Per-lane op sequences are identical
+    # to bgroup=1 given the same supertile rep, so the grouped blocks must
+    # be BITWISE equal to the ungrouped kernel's, including +inf
+    # out-of-frame slots.
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
+        dtw_tile_lane_diag_pairs,
+        tile_rep_lengths,
+    )
+
+    rng = np.random.default_rng(34)
+    K, S, d, ti, band = 32, 32, 4, 8, 3
+    lens = np.sort(rng.integers(6, 33, K)).astype(np.int32)
+    feats = rng.normal(0, 1, (K, S, d)).astype(np.float32)
+    for k in range(K):
+        feats[k, lens[k]:] = 0.0
+    nT = K // ti
+    tmin = [int(lens[t * ti:(t + 1) * ti].min()) for t in range(nT)]
+    tmax = [int(lens[t * ti:(t + 1) * ti].max()) for t in range(nT)]
+    fj, lj = jnp.asarray(feats), jnp.asarray(lens)
+    rows = int(lens.max())
+    for G in (2, 4):
+        nTB = nT // G
+        rep_g = tile_rep_lengths(lens, nTB, ti * G, K)
+        wv, km = band, 1
+        p2 = [(a, T) for a in range(nT) for T in range(nTB)
+              if a > T * G]  # long-on-rows where possible
+        for a, T in p2:
+            w, k2 = diag_class_bounds(
+                band, tmin[a], tmax[a],
+                min(tmin[T * G:(T + 1) * G]), max(tmax[T * G:(T + 1) * G]))
+            wv, km = max(wv, w), max(km, k2)
+        kw = dict(ti=ti, band=band, wv_max=wv, kmax=km, rows=rows,
+                  interpret=True)
+        grouped = np.asarray(dtw_tile_lane_diag_pairs(
+            fj, lj, jnp.asarray(rep_g),
+            jnp.asarray([p[0] for p in p2], np.int32),
+            jnp.asarray([p[1] for p in p2], np.int32),
+            bgroup=G, **kw))
+        # Ungrouped reference with the SAME (supertile) rep semantics:
+        # rep expanded per single tile, one call per member tile.
+        rep_1 = np.repeat(rep_g, G).astype(np.int32)
+        for u, (a, T) in enumerate(p2):
+            for g in range(G):
+                single = np.asarray(dtw_tile_lane_diag_pairs(
+                    fj, lj, jnp.asarray(rep_1),
+                    jnp.asarray([a], np.int32),
+                    jnp.asarray([T * G + g], np.int32),
+                    bgroup=1, **kw))
+                np.testing.assert_array_equal(
+                    grouped[u, :, g * ti:(g + 1) * ti], single[0]
+                )
+
+
+def test_lane_diag_bgroup_oracle_parity():
+    # Grouped blocks vs the pure-JAX diag path on every non-self pair
+    # (self pairs are Gram-noise around a true 0 and are zeroed by the
+    # scheduler's diagonal handling, never read from the kernel).
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw import dtw_batch
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
+        dtw_tile_lane_diag_pairs,
+        tile_rep_lengths,
+    )
+
+    rng = np.random.default_rng(35)
+    K, S, d, ti, band, G = 32, 32, 4, 8, 3, 2
+    lens = np.sort(rng.integers(6, 33, K)).astype(np.int32)
+    feats = rng.normal(0, 1, (K, S, d)).astype(np.float32)
+    for k in range(K):
+        feats[k, lens[k]:] = 0.0
+    nT, nTB = K // ti, K // ti // G
+    tmin = [int(lens[t * ti:(t + 1) * ti].min()) for t in range(nT)]
+    tmax = [int(lens[t * ti:(t + 1) * ti].max()) for t in range(nT)]
+    rep_g = tile_rep_lengths(lens, nTB, ti * G, K)
+    p2 = [(a, T) for a in range(nT) for T in range(nTB) if a >= T * G]
+    wv, km = band, 1
+    for a, T in p2:
+        w, k2 = diag_class_bounds(
+            band, tmin[a], tmax[a],
+            min(tmin[T * G:(T + 1) * G]), max(tmax[T * G:(T + 1) * G]))
+        wv, km = max(wv, w), max(km, k2)
+    fj, lj = jnp.asarray(feats), jnp.asarray(lens)
+    blocks = np.asarray(dtw_tile_lane_diag_pairs(
+        fj, lj, jnp.asarray(rep_g),
+        jnp.asarray([p[0] for p in p2], np.int32),
+        jnp.asarray([p[1] for p in p2], np.int32),
+        ti=ti, band=band, wv_max=wv, kmax=km, rows=int(lens.max()),
+        bgroup=G, interpret=True))
+    for u, (a, T) in enumerate(p2):
+        gi = np.repeat(np.arange(ti) + a * ti, ti * G)
+        gj = np.tile(np.arange(ti * G) + T * ti * G, ti)
+        ref = np.asarray(dtw_batch(
+            fj[gi], fj[gj], lj[gi], lj[gj], band=band, band_mode="diag"
+        )).reshape(ti, ti * G)
+        ns = (gi != gj).reshape(ti, ti * G)
+        np.testing.assert_allclose(
+            blocks[u][ns], ref[ns], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_lane_diag_bgroup_rejects_bad_shapes():
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_tile_lane_diag_pairs,
+    )
+
+    feats = jnp.zeros((24, 32, 3), jnp.float32)
+    lens = jnp.full((24,), 8, jnp.int32)
+    ij = jnp.asarray([0], np.int32)
+    with pytest.raises(ValueError, match="bgroup"):
+        dtw_tile_lane_diag_pairs(
+            feats, lens, jnp.full((1,), 8, jnp.int32), ij, ij,
+            ti=8, band=2, wv_max=4, bgroup=2, interpret=True)  # nT=3 % 2
+    with pytest.raises(ValueError, match="tile_rep"):
+        dtw_tile_lane_diag_pairs(
+            feats, lens, jnp.full((3,), 8, jnp.int32), ij, ij,
+            ti=8, band=2, wv_max=4, bgroup=3, interpret=True)

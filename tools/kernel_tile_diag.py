@@ -79,6 +79,10 @@ def main() -> int:
     ap.add_argument("--stack", type=int, default=1,
                     help="with --diag: interleaved A-row chains per "
                          "program (config knob dtw.lane_stack)")
+    ap.add_argument("--bgroup", type=int, default=1,
+                    help="with --diag: B tiles lane-concatenated per "
+                         "program (supertiles; ops get bgroup x wider on "
+                         "lanes, same op count — the issue-bound lever)")
     ap.add_argument("--full", action="store_true",
                     help="drive the FULL-WIDTH (unbanded) lane kernel "
                          "(band=None fast path, round 4) and the per-pair "
@@ -162,27 +166,46 @@ def main() -> int:
 
     if args.diag:
         lens_np = np.asarray(lengths)
-        rep = jnp.asarray(tile_rep_lengths(lens_np, nT, args.ti, K))
         tmin = [int(lens_np[t * args.ti:(t + 1) * args.ti].min())
                 for t in range(nT)]
         tmax = [int(lens_np[t * args.ti:(t + 1) * args.ti].max())
                 for t in range(nT)]
-        wv_d, kmax_d = BAND, 1
-        for a, b in pairs:
-            wv, km = diag_class_bounds(BAND, tmin[a], tmax[a],
-                                       tmin[b], tmax[b])
-            wv_d, kmax_d = max(wv_d, wv), max(kmax_d, km)
         rows_d = max(tmax[a] for a, _ in pairs)
+
+        def diag_setup(G):
+            """(rep, ii, jj, wv, kmax, n_pairs) for bgroup=G: B tiles are
+            grouped into supertiles of G, pairs deduped to (A, supertile);
+            every grouped program computes G blocks (a superset of the
+            ungrouped pair list — throughput counts computed pairs)."""
+            p2 = sorted({(a, b // G) for a, b in pairs})
+            rep2 = jnp.asarray(tile_rep_lengths(
+                lens_np, nT // G, args.ti * G, K))
+            wv_g, km_g = BAND, 1
+            for a, T in p2:
+                wv, km = diag_class_bounds(
+                    BAND, tmin[a], tmax[a],
+                    min(tmin[T * G:(T + 1) * G]),
+                    max(tmax[T * G:(T + 1) * G]))
+                wv_g, km_g = max(wv_g, wv), max(km_g, km)
+            i2 = jnp.asarray(np.array([p[0] for p in p2], np.int32))
+            j2 = jnp.asarray(np.array([p[1] for p in p2], np.int32))
+            return rep2, i2, j2, wv_g, km_g, len(p2) * G
+
+        setups = {1: diag_setup(1)}
+        rep, ii, jj, wv_d, kmax_d, _ = setups[1]
         log(f"diag class bounds (single merged class over "
             f"{len(pairs)} pairs): wv={wv_d} kmax={kmax_d} rows={rows_d} "
-            f"stack={args.stack}")
+            f"stack={args.stack} bgroup={args.bgroup}")
 
-        def run(stack=args.stack):
+        def run(stack=args.stack, bgroup=args.bgroup):
+            if bgroup not in setups:
+                setups[bgroup] = diag_setup(bgroup)
+            rep_g, ii_g, jj_g, wv_g, km_g, _ = setups[bgroup]
             return dtw_tile_lane_diag_pairs(
-                feats, lengths, rep, ii, jj, ti=args.ti, band=BAND,
-                wv_max=wv_d, kmax=kmax_d,
+                feats, lengths, rep_g, ii_g, jj_g, ti=args.ti, band=BAND,
+                wv_max=wv_g, kmax=km_g,
                 rows=args.rows if args.rows is not None else rows_d,
-                unroll_rows=args.unroll_rows, stack=stack,
+                unroll_rows=args.unroll_rows, stack=stack, bgroup=bgroup,
                 interpret=not on_tpu)
     elif args.full:
         lmax = int(jnp.max(lengths))
@@ -223,13 +246,24 @@ def main() -> int:
     log(f"tile kernel: compile+warm {time.perf_counter() - t0:.1f}s")
 
     # correctness: sampled pairs vs the oracle-verified per-pair kernel
+    # (with --diag --bgroup G the dispatched pair list is the deduped
+    # (A-tile, supertile) set and block columns span G*ti lanes)
+    if args.diag:
+        G = args.bgroup
+        dpairs = [
+            (int(a), int(T))
+            for a, T in zip(*(np.asarray(x) for x in setups[G][1:3]))
+        ]
+        ncol = args.ti * G
+    else:
+        G, dpairs, ncol = 1, pairs, args.ti
     rng = np.random.default_rng(1)
-    nchk = min(args.check_pairs, len(pairs) * args.ti * args.ti)
-    pu = rng.integers(0, len(pairs), nchk)
+    nchk = min(args.check_pairs, len(dpairs) * args.ti * ncol)
+    pu = rng.integers(0, len(dpairs), nchk)
     ru = rng.integers(0, args.ti, nchk)
-    cu = rng.integers(0, args.ti, nchk)
-    gi = np.array([pairs[p][0] * args.ti + r for p, r in zip(pu, ru)])
-    gj = np.array([pairs[p][1] * args.ti + c for p, c in zip(pu, cu)])
+    cu = rng.integers(0, ncol, nchk)
+    gi = np.array([dpairs[p][0] * args.ti + r for p, r in zip(pu, ru)])
+    gj = np.array([dpairs[p][1] * ncol + c for p, c in zip(pu, cu)])
     if args.diag:
         # Diag semantics ride the pure-JAX scan path as reference (same
         # Gram-trick numerics; its own oracle parity is pinned in
@@ -243,6 +277,12 @@ def main() -> int:
             band=None if args.full else BAND, max_len_diff=args.ddmax,
             interpret=not on_tpu))
     got = blocks[pu, ru, cu]
+    # Self-pairs (possible under --diag --bgroup, where a supertile can
+    # contain the A tile itself) are pure Gram-trick noise around a true 0
+    # (per-cell cost = sqrt(clamped eps)); exclude them like the scheduler
+    # does (it zeroes the diagonal exactly).
+    ns = gi != gj
+    got, ref = got[ns], ref[ns]
     ok = np.allclose(got, ref, rtol=1e-4, atol=1e-4)
     log(f"tile parity vs per-pair kernel ({nchk} sampled pairs): "
         f"{'OK' if ok else 'MISMATCH'} "
@@ -250,7 +290,8 @@ def main() -> int:
     if args.check_only:
         return 0 if ok else 1
 
-    n_pairs = len(pairs) * args.ti * args.ti
+    n_pairs = (len(dpairs) * args.ti * ncol if args.diag
+               else len(pairs) * args.ti * args.ti)
     for o in [run() for _ in range(2)]:
         np.asarray(o)
     best = 0.0
@@ -305,15 +346,26 @@ def main() -> int:
         return b
 
     if args.diag and args.sweep:
-        # diag sweep specs: STACK values (the chain-interleave knob),
-        # e.g. --sweep '1;2;4' — one process, one handshake.
+        # diag sweep specs: STACK values (the chain-interleave knob) or
+        # 'gN' for bgroup=N lane widening, e.g. --sweep '1;g2;g4' — one
+        # process, one handshake.  Rates count COMPUTED pairs (a grouped
+        # program computes all G blocks of its supertile).
         for spec in args.sweep.split(";"):
-            st = int(spec)
+            if spec.startswith("g"):
+                gv = int(spec[1:])
+                if gv not in setups:
+                    setups[gv] = diag_setup(gv)
+                n_g = setups[gv][5] * args.ti * args.ti
+                lbl, fn = f"bgroup={gv}", (lambda gv=gv: run(bgroup=gv))
+            else:
+                st = int(spec)
+                n_g = n_pairs
+                lbl, fn = f"stack={st}", (lambda st=st: run(stack=st))
             try:
-                r = time_cfg(lambda st=st: run(stack=st), n_pairs)
-                log(f"SWEEP {kind} stack={st}: {r:,.0f} pairs/s")
+                r = time_cfg(fn, n_g)
+                log(f"SWEEP {kind} {lbl}: {r:,.0f} pairs/s")
             except Exception as e:  # noqa: BLE001
-                log(f"SWEEP {kind} stack={st}: FAILED "
+                log(f"SWEEP {kind} {lbl}: FAILED "
                     f"{type(e).__name__}: {str(e)[:200]}")
 
     if (args.lane or args.full) and args.sweep:
