@@ -1768,6 +1768,7 @@ def _dtw_lane_diag_kernel(
     stack: int,
     a_ti: int,
     aligned_loads: bool,
+    ww_ext: int,
 ):
     """`stack` A-rows x TI diag-corridor DTWs (TI = the B lane width =
     `bgroup` B tiles of `a_ti` sequences each, lane-concatenated).
@@ -1815,11 +1816,44 @@ def _dtw_lane_diag_kernel(
         # B slice in range and k at 0.
         return jnp.minimum((i * numm + half[h]) // den[h], numm)
 
-    def build_rows(i, csh):
+    def build_rows(i, csh, wins=None, cb=None):
         # One DP row's masked cost per half, d-loop interleaved across
-        # halves (independent load/FMA chains).
+        # halves (independent load/FMA chains).  With `wins` (hoisted
+        # block windows, round 5): the d+1 dynamic-offset VMEM loads per
+        # row collapse to one load set per UR-row block, at the price of
+        # ww_ext-wider FMAs and one realign roll per row.  The block
+        # window anchors at the block-start center cb; each row's frame
+        # is the same values shifted by csh - cb in [0, (UR-1)*kmax], so
+        # one traced roll + static truncate realigns — per-slot f32 ops
+        # and values are IDENTICAL to the per-row-load path (bitwise
+        # parity: tests/test_dtw_diag.py::test_lane_diag_hoist_bitwise_
+        # parity).  Measured verdict (BASELINE.md round-5 op-geometry
+        # entry): NO win at the bench shape — dynamic-offset loads are
+        # not the bottleneck either — so hoist_build defaults OFF; the
+        # path stays as a tested lever for wider-W shapes.
         base = [csh[h] + padl - off for h in HS]
-        if aligned_loads:
+        if wins is not None:
+            WW = W + ww_ext
+            acc = [wins[h][d] + a_ref[h, d, i] for h in HS]
+            for c in range(d):
+                acc = [
+                    acc[h] + a_ref[h, c, i] * wins[h][c] for h in HS
+                ]
+            sh = [csh[h] - cb[h] for h in HS]
+            acc = [
+                pltpu.roll(acc[h], (WW - sh[h]) % WW, axis=0)[:W]
+                for h in HS
+            ]
+            # Drift beyond the hoist budget means the block window does
+            # not contain this row's frame (an understated kmax: legal
+            # for the carry realignment under dyn_roll, not for
+            # hoisting).  Poison the row to +inf — the same LOUD
+            # out-of-contract surface as the wv bound — instead of
+            # returning silently wrong costs.
+            acc = [
+                jnp.where(sh[h] <= ww_ext, acc[h], INF) for h in HS
+            ]
+        elif aligned_loads:
             # Lane widths > 128 (bgroup > 1): Mosaic's multi-vreg-column
             # vector.load requires a PROVABLY 8-aligned dynamic sublane
             # offset.  Load W+8 sublanes from the 8-floor of base,
@@ -1924,11 +1958,27 @@ def _dtw_lane_diag_kernel(
 
     def row_body(i0, carry):
         prev, out, csh_prev = (list(x) for x in carry)
+        wins = cb = None
+        if ww_ext > 0:
+            # Hoisted block windows: one dynamic-offset load set per UR
+            # rows, anchored at the block's first-row center (centers are
+            # nondecreasing in i, so in-block shifts stay in
+            # [0, (UR-1)*kmax] <= ww_ext by the class kmax contract).
+            cb = [center(i0 * UR, h) for h in HS]
+            wins = [
+                [
+                    b_ref[0, c, pl.ds(cb[h] + padl - off, W + ww_ext), :]
+                    for c in range(d + 1)
+                ]
+                for h in HS
+            ]
         for kk in range(UR):
             i = i0 * UR + kk
             csh = [center(i, h) for h in HS]
             k = [csh[h] - csh_prev[h] for h in HS]
-            prev, out = row_steps(i, k, build_rows(i, csh), prev, out)
+            prev, out = row_steps(
+                i, k, build_rows(i, csh, wins, cb), prev, out
+            )
             csh_prev = csh
         return tuple(prev), tuple(out), tuple(csh_prev)
 
@@ -1955,7 +2005,7 @@ def _dtw_lane_diag_kernel(
     jax.jit,
     static_argnames=("ti", "band", "metric", "rows", "wv_max", "kmax",
                      "unroll_rows", "interpret", "dyn_roll", "stack",
-                     "bgroup"),
+                     "bgroup", "hoist_build"),
 )
 def dtw_tile_lane_diag_pairs(
     feats,        # [K, S, d] f32 padded sequences (device-resident corpus)
@@ -1975,6 +2025,7 @@ def dtw_tile_lane_diag_pairs(
     dyn_roll: bool = True,
     stack: int = 1,
     bgroup: int = 1,
+    hoist_build: bool = False,
 ):
     """Diag-corridor DTW distances for U tile-pairs -> [U, ti, ti] blocks
     (band_mode="diag" semantics; oracle/dtw.py).  Layout and output contract
@@ -2013,13 +2064,25 @@ def dtw_tile_lane_diag_pairs(
     off = wv_max + 1
     W = 8 * -(-(2 * wv_max + 2) // 8)
     padl = 8 * -(-off // 8)
-    # bgroup > 1 loads W+8 sublanes from the 8-aligned floor of the dynamic
-    # base (Mosaic alignment contract for multi-vreg-column lane widths);
-    # 8 extra right-pad sublanes keep the wide window in range.
-    SPs = padl + S + W + (8 if bgroup > 1 else 0)
     scan_steps = int(max(1, (2 * wv_max).bit_length()))
     rows = S if rows is None else min(rows, S)
     kmax = int(max(1, kmax))
+    # Hoisted block-window build (round 5): one dynamic-offset load set
+    # per UR-row block instead of per row; the block window is ww_ext
+    # sublanes wider than W to cover the in-block center drift
+    # ((UR-1)*kmax).  Mirror the kernel's UR divisibility adjustment so
+    # ww_ext matches the loop structure it will actually run.
+    UR_eff = int(unroll_rows)
+    while UR_eff > 1 and rows % UR_eff:
+        UR_eff //= 2
+    ww_ext = 0
+    if hoist_build and UR_eff > 1 and bgroup == 1:
+        ww_ext = 8 * -(-((UR_eff - 1) * kmax) // 8)
+    # bgroup > 1 loads W+8 sublanes from the 8-aligned floor of the dynamic
+    # base (Mosaic alignment contract for multi-vreg-column lane widths);
+    # 8 extra right-pad sublanes keep the wide window in range.  ww_ext
+    # right-pad keeps the hoisted block window in range likewise.
+    SPs = padl + S + W + (8 if bgroup > 1 else 0) + ww_ext
 
     f32 = feats.astype(jnp.float32)
     if metric == "cosine":
@@ -2067,7 +2130,7 @@ def dtw_tile_lane_diag_pairs(
         _dtw_lane_diag_kernel, d=d, band=int(band), metric=metric,
         rows=rows, width=W, off=off, padl=padl, scan_steps=scan_steps,
         kmax=kmax, unroll_rows=unroll_rows, dyn_roll=dyn_roll, stack=stack,
-        a_ti=ti, aligned_loads=bgroup > 1,
+        a_ti=ti, aligned_loads=bgroup > 1, ww_ext=ww_ext,
     )
     RP = ti // stack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -2149,14 +2212,26 @@ def diag_class_bounds(
     with tile_rep = (tmin_j + tmax_j + 1) // 2.
 
     Derivation (single source of truth; scheduler, bench and tests all call
-    this): for a pair (la, lb) the corridor's offset from the shared center
-    line obeys
-        |j - c_sh(i)| <= r*max(1, (lb-1)/(la-1))   (corridor half-width)
-                       + |lb - lbm|                 (B-spread divergence)
-                       + 1                          (center rounding),
-    and the per-row center step obeys k_i <= ceil((lbm-1)/(la-1)).  Both
-    are maximized at la = tmin_i, lb/lbm extremes of the J range; +1 slack
-    on wv absorbs the stripe frame's one-slot asymmetry.
+    this): write den = la-1, num = lb-1, numm = lbm-1, M = max(den, num),
+    D = num - numm.  The frame center is the round-half-up division
+    c(i) = floor((i*numm + den//2)/den), so i*numm/den - 1/2 < c(i) <=
+    i*numm/den + 1/2.  A corridor cell satisfies |j*den - i*num| <= r*M
+    with j, i integers, i <= den, so its slot offset d = j - c(i) obeys
+        d <  i*D/den + r*M/den + 1/2 <= spread + corridor + 1/2,
+        d > -(spread + corridor + 1/2),
+    with corridor = ceil(r*max(den_min, num_max)/den_min) >= r*M/den over
+    the class and |i*D/den| <= |D| <= spread.  d is an integer strictly
+    inside +-(corridor + spread + 1/2), hence |d| <= corridor + spread
+    EXACTLY — no extra rounding or asymmetry slack is needed (the kernel
+    frame covers [-wv-1, +wv] at W = 2*wv+2, one spare slot on the low
+    side).  Round 4 shipped wv_req = corridor + spread + 2; the two slack
+    slots pushed the bench classes from W=40 to W=48 sublanes — 1.2x
+    computed elements on an element-throughput-bound kernel (BASELINE.md
+    round-5 bgroup entry) — and were proven unnecessary by the bound
+    above (tests/test_dtw_diag.py::test_diag_bounds_slot_coverage_exact
+    brute-forces corridor-cell slot coverage at the exact bound).
+    The per-row center step obeys k_i <= ceil((lbm-1)/(la-1)), maximized
+    at la = tmin_i.
     """
     r = max(int(band), 1)
     den_min = max(int(tmin_i) - 1, 1)
@@ -2164,7 +2239,7 @@ def diag_class_bounds(
     lbm = (int(tmin_j) + int(tmax_j) + 1) // 2
     corridor = -(-r * max(den_min, num_max) // den_min)   # ceil
     spread = max(int(tmax_j) - lbm, lbm - int(tmin_j), 0)
-    wv_req = corridor + spread + 2
+    wv_req = corridor + spread
     kmax = max(1, -(-max(lbm - 1, 0) // den_min))
     return wv_req, kmax
 

@@ -394,6 +394,19 @@ def _ws_level(wv_req: int) -> int:
     return (_ws_width(wv_req) - 2) // 2
 
 
+def _ws_level_diag(wv_req: int) -> int:
+    """Diag-route level: quantize UP on the kernel's NATIVE 8-sublane
+    width grid (W = 8*ceil((2*wv+2)/8); levels 7, 11, 15, 19, 23, ...).
+    The widen-route _ws_level uses 16-granularity to halve executable
+    count, but at the diag bench mix the exact class needs wv=18 (W=40)
+    and the 16-grid rounds it to wv=23 (W=48) — 1.2x computed elements on
+    an element-bound kernel (BASELINE.md round-5 exact-width entry).  The
+    finer grid's extra class-count risk is absorbed by
+    _merge_thin_classes."""
+    w = 8 * -(-(2 * int(wv_req) + 2) // 8)
+    return (w - 2) // 2
+
+
 def _lane_route(
     L: int, d: int, lengths: np.ndarray, cfg: DTWConfig,
 ) -> int | None:
@@ -528,18 +541,25 @@ def make_tile_lane_diag_class_fn(
     Lp: int,
     band: int,
     n_real: int,
-) -> Callable[[int, int], tuple[int, int]]:
-    """(I, J) tile-pair -> (rows_cls, wv_cls) for the diag-corridor lane
-    kernel (band_mode="diag").
+) -> Callable[[int, int], tuple[int, int, int]]:
+    """(I, J) tile-pair -> (rows_cls, wv_cls, kmax_cls) for the
+    diag-corridor lane kernel (band_mode="diag").
 
     wv comes from diag_class_bounds over the tile-pair's REAL length
     ranges (pad entries excluded, as in make_tile_stripe_class_fn),
-    quantized UP on the lane ladder (_ws_level) so each distinct key is
-    one compiled executable.  kmax is NOT in the key: the kernel realigns
-    its carry with a dynamic-shift roll (dyn_roll, hardware-verified +9%
-    over the kmax-static select chain), so the center step needs no
-    static bound.  Both components are >=-monotone contracts, so
-    _merge_thin_classes' elementwise-max merging stays correct.
+    quantized UP on the kernel's native 8-sublane ladder (_ws_level_diag;
+    the exact bound makes W=40 reachable at band=16 mixes) so each
+    distinct key is one compiled executable.  kmax returned to the key in
+    round 5: the dyn_roll CARRY realignment needs no static step bound
+    (round 4 dropped it on that basis), but the hoisted block-window
+    build sizes its drift budget ww_ext from kmax — an understated kmax
+    now poisons rows to +inf (loud) instead of realigning, so the
+    scheduler must ship the true bound.  kmax > 1 arises only on
+    diagonal/near-diagonal tile-pairs of wide-spread tiles (long-on-rows
+    keeps off-diagonal slopes <= 1), and ww_ext quantizes it to 8-sublane
+    buckets, so the executable-count cost is marginal.  All three
+    components are >=-monotone contracts, so _merge_thin_classes'
+    elementwise-max merging stays correct.
     """
     tmin = np.empty(nT, np.int64)
     tmax = np.empty(nT, np.int64)
@@ -550,12 +570,12 @@ def make_tile_lane_diag_class_fn(
         tmin[t], tmax[t] = real.min(), real.max()
     rq = max(16, Lp // 8)
 
-    def pair_class(i: int, j: int) -> tuple[int, int]:
+    def pair_class(i: int, j: int) -> tuple[int, int, int]:
         rows_cls = min(Lp, rq * -(-int(tmax[i]) // rq))
-        wv_req, _ = diag_class_bounds(
+        wv_req, kmax = diag_class_bounds(
             band, int(tmin[i]), int(tmax[i]), int(tmin[j]), int(tmax[j])
         )
-        return rows_cls, _ws_level(min(wv_req, Lp))
+        return rows_cls, _ws_level_diag(min(wv_req, Lp)), kmax
 
     return pair_class
 
@@ -1105,12 +1125,13 @@ def all_pairs_distances_tiled(
 
             if lane and diag:
                 def dispatch(di=di, ii=ii, jj=jj, rows_cls=rows_cls,
-                             wv_cls=scan_cls):
+                             wv_cls=scan_cls,
+                             km_cls=(cls[2] if len(cls) > 2 else 1)):
                     return dtw_tile_lane_diag_pairs(
                         feats_dev[di], lens_dev[di], rep_dev[di],
                         jnp.asarray(ii), jnp.asarray(jj),
                         ti=ti, band=cfg.band, wv_max=wv_cls,
-                        metric=cfg.metric, rows=rows_cls,
+                        kmax=km_cls, metric=cfg.metric, rows=rows_cls,
                         stack=lane_stack, interpret=interpret,
                     )
             elif full:

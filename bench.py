@@ -409,6 +409,7 @@ def main() -> int:
                 dtw_tile_lane_diag_pairs(
                     feats, lens, rep, ii, jjc, ti=ti, band=BAND,
                     wv_max=cls[1], rows=cls[0], stack=stack,
+                    kmax=(cls[2] if len(cls) > 2 else 1),
                 )
                 for cls, ii, jjc in dparts
             ]

@@ -285,6 +285,63 @@ def test_diag_class_bounds_monotone_contract():
     assert wv2 >= wv1 and k2 >= k1
 
 
+def test_diag_bounds_slot_coverage_exact():
+    # Round-5 exact-width contract: wv_req = corridor + spread (the round-4
+    # +2 slack removed) still places EVERY corridor cell of every
+    # (la, lb) in the class ranges inside the kernel's stripe frame
+    # [c(i) - off, c(i) - off + W).  Brute-forced over adversarial range
+    # shapes: degenerate lengths, num > den (diagonal tile-pairs), wide
+    # spreads, band=1.  Also checks tightness at the bench-like shape:
+    # one fewer wv slot must LOSE a corridor cell somewhere (so the bound
+    # is exact, not just sufficient).
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import diag_class_bounds
+
+    def check(band, tmin_i, tmax_i, tmin_j, tmax_j, wv_override=None):
+        wv, _ = diag_class_bounds(band, tmin_i, tmax_i, tmin_j, tmax_j)
+        if wv_override is not None:
+            wv = wv_override
+        off = wv + 1
+        W = 8 * -(-(2 * wv + 2) // 8)
+        lbm = (tmin_j + tmax_j + 1) // 2
+        numm = lbm - 1
+        r = max(band, 1)
+        for la in range(tmin_i, tmax_i + 1):
+            den_t = la - 1
+            den = max(den_t, 1)
+            half = den // 2
+            for lb in range(tmin_j, tmax_j + 1):
+                num = lb - 1
+                thresh = r * max(den_t, num)
+                for i in range(la):
+                    c = min((i * numm + half) // den, numm)
+                    for j in range(lb):
+                        if abs(j * den_t - i * num) <= thresh:
+                            s = j - c + off
+                            if not (0 <= s < W):
+                                return False
+        return True
+
+    cases = [
+        (1, 2, 5, 2, 5),          # band=1, tiny lengths
+        (4, 20, 24, 40, 48),      # num > den throughout (short A tile)
+        (4, 40, 48, 20, 24),      # long-on-rows orientation
+        (16, 100, 104, 100, 104), # diagonal tile-pair (lb can exceed la)
+        (16, 112, 128, 64, 80),   # bench-like long-on-rows, wide spread
+        (3, 1, 9, 1, 9),          # length-1 degenerates in range
+        (2, 6, 6, 30, 30),        # extreme slope, zero spread
+    ]
+    for case in cases:
+        assert check(*case), f"coverage lost at {case}"
+    # Tightness at the zero-spread equal-length shape, where the corridor
+    # extreme slot d = +band is exactly achieved (i=0, j=band): wv - 1
+    # must lose that cell.  (At mixed-range shapes the ceil'd class bound
+    # may over-cover by <= 1 slot — acceptable; sufficiency above is the
+    # contract, tightness here shows there is no systematic slack left.)
+    wv, _ = diag_class_bounds(16, 101, 101, 101, 101)
+    assert wv == 16
+    assert not check(16, 101, 101, 101, 101, wv_override=wv - 1)
+
+
 # -------------------------------------------------------------- scheduler
 def test_diag_tiled_scheduler_matches_legacy():
     # Full tiled scheduler through the diag lane route (sorted tiles, class
@@ -416,6 +473,96 @@ def test_lane_diag_stack_bitwise_parity():
             jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(rep),
             ii, jj, stack=stack, **kw))
         np.testing.assert_array_equal(got, base)
+
+
+def test_lane_diag_hoist_bitwise_parity():
+    # Round-5 hoisted block-window build: the d+1 dynamic-offset loads
+    # move out of the row loop (one wide load set per UR-row block, one
+    # traced realign roll per row).  Per-slot f32 operand values and op
+    # order are identical to the per-row-load path, so results must be
+    # BITWISE equal — including +inf out-of-frame slots, pad rows, and
+    # kmax > 1 (high-slope) cases where the in-block drift is nonzero.
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        diag_class_bounds,
+        dtw_tile_lane_diag_pairs,
+        tile_rep_lengths,
+    )
+
+    rng = np.random.default_rng(41)
+    for seed, (len_lo, len_hi, S, band) in enumerate(
+        [(6, 33, 32, 3), (8, 64, 64, 5)]
+    ):
+        K, d, ti = 16, 4, 8
+        lens = np.sort(
+            np.random.default_rng(seed).integers(len_lo, len_hi, K)
+        ).astype(np.int32)
+        feats = rng.normal(0, 1, (K, S, d)).astype(np.float32)
+        for k in range(K):
+            feats[k, lens[k]:] = 0.0
+        nT = K // ti
+        rep = tile_rep_lengths(lens, nT, ti, K)
+        tmin = [int(lens[t * ti:(t + 1) * ti].min()) for t in range(nT)]
+        tmax = [int(lens[t * ti:(t + 1) * ti].max()) for t in range(nT)]
+        wv, kmax = 0, 1
+        prs = [(0, 0), (1, 0), (1, 1)]   # incl. diagonal pairs: slope > 1
+        for a_, b_ in prs:
+            w, k2 = diag_class_bounds(
+                band, tmin[a_], tmax[a_], tmin[b_], tmax[b_]
+            )
+            wv, kmax = max(wv, w), max(kmax, k2)
+        # rows = S keeps UR_eff = 8 so the hoisted path is actually
+        # exercised (dead rows beyond each length are contract-handled).
+        kw = dict(ti=ti, band=band, wv_max=wv, kmax=kmax,
+                  rows=S, interpret=True)
+        ii = jnp.asarray([p[0] for p in prs], np.int32)
+        jj = jnp.asarray([p[1] for p in prs], np.int32)
+        fj, lj, rj = jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(rep)
+        base = np.asarray(dtw_tile_lane_diag_pairs(
+            fj, lj, rj, ii, jj, hoist_build=False, **kw))
+        got = np.asarray(dtw_tile_lane_diag_pairs(
+            fj, lj, rj, ii, jj, hoist_build=True, **kw))
+        np.testing.assert_array_equal(got, base)
+        # Real (non-self) pairs must carry finite distances — the drift
+        # budget actually covered the frame (not everything poisoned).
+        assert np.isfinite(got[1]).all()
+
+
+def test_lane_diag_hoist_understated_kmax_poisons_loudly():
+    # The hoist drift budget ww_ext is sized from kmax.  dyn_roll's carry
+    # realignment tolerates an understated kmax, but the hoisted window
+    # cannot — the kernel must return +inf for affected rows (the same
+    # loud surface as a too-small wv), never silently wrong values.
+    import jax.numpy as jnp
+
+    from audio_pattern_discovery_tpu.ops.dtw_pallas import (
+        dtw_tile_lane_diag_pairs,
+        tile_rep_lengths,
+    )
+
+    rng = np.random.default_rng(43)
+    K, S, d, ti, band = 8, 64, 3, 4, 2
+    # Extreme slope: A tile lengths ~8, B tile lengths ~64 -> slope ~9,
+    # in-block drift over UR=8 rows >> ww_ext(kmax=1) = 8.
+    lens = np.array([7, 8, 8, 8, 60, 62, 63, 64], np.int32)
+    feats = rng.normal(0, 1, (K, S, d)).astype(np.float32)
+    rep = tile_rep_lengths(lens, 2, ti, K)
+    kw = dict(ti=ti, band=band, wv_max=64, rows=8, hoist_build=True,
+              interpret=True)
+    ii = jnp.asarray([0], np.int32)
+    jj = jnp.asarray([1], np.int32)
+    fj, lj, rj = jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(rep)
+    honest = np.asarray(dtw_tile_lane_diag_pairs(
+        fj, lj, rj, ii, jj, kmax=9, **kw))
+    assert np.isfinite(honest).all()
+    lied = np.asarray(dtw_tile_lane_diag_pairs(
+        fj, lj, rj, ii, jj, kmax=1, **kw))
+    # Every pair whose DP needed drifted rows is +inf; nothing is a
+    # finite-but-different value.
+    mism = honest != lied
+    assert mism.any()
+    assert np.isinf(lied[mism]).all()
 
 
 def test_lane_diag_stack_rejects_non_divisor():

@@ -197,16 +197,16 @@ def main() -> int:
             f"{len(pairs)} pairs): wv={wv_d} kmax={kmax_d} rows={rows_d} "
             f"stack={args.stack} bgroup={args.bgroup}")
 
-        def run(stack=args.stack, bgroup=args.bgroup):
+        def run(stack=args.stack, bgroup=args.bgroup, wv=None, hoist=False):
             if bgroup not in setups:
                 setups[bgroup] = diag_setup(bgroup)
             rep_g, ii_g, jj_g, wv_g, km_g, _ = setups[bgroup]
             return dtw_tile_lane_diag_pairs(
                 feats, lengths, rep_g, ii_g, jj_g, ti=args.ti, band=BAND,
-                wv_max=wv_g, kmax=km_g,
+                wv_max=wv_g if wv is None else max(wv, wv_g), kmax=km_g,
                 rows=args.rows if args.rows is not None else rows_d,
                 unroll_rows=args.unroll_rows, stack=stack, bgroup=bgroup,
-                interpret=not on_tpu)
+                hoist_build=hoist, interpret=not on_tpu)
     elif args.full:
         lmax = int(jnp.max(lengths))
         w_full = 8 * -(-lmax // 8)
@@ -346,12 +346,22 @@ def main() -> int:
         return b
 
     if args.diag and args.sweep:
-        # diag sweep specs: STACK values (the chain-interleave knob) or
-        # 'gN' for bgroup=N lane widening, e.g. --sweep '1;g2;g4' — one
+        # diag sweep specs: STACK values (the chain-interleave knob),
+        # 'gN' for bgroup=N lane widening, or 'wN' forcing wv_max=N (the
+        # class-width A/B: e.g. '1;w20' times the exact-width class
+        # against the round-4 +2-slack width in ONE process) — one
         # process, one handshake.  Rates count COMPUTED pairs (a grouped
         # program computes all G blocks of its supertile).
         for spec in args.sweep.split(";"):
-            if spec.startswith("g"):
+            if spec.startswith("w"):
+                wvv = int(spec[1:])
+                n_g = n_pairs
+                lbl, fn = f"wv={wvv}", (lambda wvv=wvv: run(wv=wvv))
+            elif spec.startswith("h"):
+                hv = bool(int(spec[1:]))
+                n_g = n_pairs
+                lbl, fn = f"hoist={int(hv)}", (lambda hv=hv: run(hoist=hv))
+            elif spec.startswith("g"):
                 gv = int(spec[1:])
                 if gv not in setups:
                     setups[gv] = diag_setup(gv)
